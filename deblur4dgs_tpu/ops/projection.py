@@ -49,6 +49,7 @@ def project(
     eps2d: float = 0.3,
     near: float = 0.01,
     far: float = 1e10,
+    aux_mask: jnp.ndarray | None = None,  # (G,) bool: False => culled
 ) -> Projected:
     W, H = img_wh
     quats = lie.quat_normalize(quats)
@@ -110,6 +111,8 @@ def project(
         & (mean_y - radius < H)
     )
     valid = (z > near) & (z < far) & (det > 0) & (radius > 0) & inside
+    if aux_mask is not None:
+        valid = valid & aux_mask
     radius = jnp.where(valid, radius, 0.0)
 
     return Projected(means2d, conic, z, radius, valid)

@@ -1,0 +1,370 @@
+"""Differentiable tile compositor: Pallas TPU kernels + XLA reference path.
+
+TPU-native replacement for gsplat's CUDA rasterize_to_pixels fwd/bwd
+(reference call site /root/reference/flow3d/scene_model.py:360-373). The
+compositor consumes the dense per-tile layout from ops/tiling.py and runs
+front-to-back alpha compositing as:
+
+    alpha  [P, CHUNK]  — VPU elementwise (conic quadratic + exp)
+    logT   cumsum(log1p(-alpha)) along the gaussian axis — VPU
+    accum += (alpha * T) @ channels — MXU matmul
+
+so transmittance is an associative log-space scan and the color
+accumulation rides the MXU. The backward pass recomputes alphas chunk-wise
+in forward order and recovers suffix sums from ``Total - prefix`` where
+``Total`` comes from the forward outputs (accum, T_fin) — no stored
+per-gaussian residuals, no backward-order traversal, no divisions by
+near-zero transmittance.
+
+Both paths share exact semantics with ops/rasterize_ref.py (alpha clamp
+0.999, 1/255 cutoff, no early-stop).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from deblur4dgs_tpu.ops.projection import Projected
+from deblur4dgs_tpu.ops.tiling import TILE, TileBinning, pack_and_gather
+
+ALPHA_CLAMP = 0.999
+ALPHA_CUTOFF = 1.0 / 255.0
+CHUNK = 128  # gaussians composited per inner step (128-lane aligned)
+P = TILE * TILE  # pixels per tile
+
+
+def _lane_cumsum(x):
+    """Inclusive cumsum along axis 1 (lanes) via Hillis-Steele shift-adds.
+
+    Mosaic has no cumsum lowering; log2(CHUNK) concatenate+add steps on the
+    VPU are cheap and work in both compiled and interpret modes.
+    """
+    n = x.shape[1]
+    shift = 1
+    while shift < n:
+        shifted = jnp.concatenate(
+            [jnp.zeros((x.shape[0], shift), x.dtype), x[:, :-shift]], axis=1
+        )
+        x = x + shifted
+        shift *= 2
+    return x
+
+
+def _alpha_from_packed(d, px, py):
+    """Shared alpha math. d: (F, CHUNK) packed params; px/py: (P, 1).
+
+    Returns (alpha (P, CHUNK), dx, dy, active mask). The bounding-box test
+    against the 3-sigma radius makes compositing exactly local to the tiles
+    a gaussian was binned into (sentinel rows have radius 0 and vanish).
+    """
+    mx = d[0:1, :]
+    my = d[1:2, :]
+    ca = d[2:3, :]
+    cb = d[3:4, :]
+    cc = d[4:5, :]
+    op = d[5:6, :]
+    r = d[6:7, :]
+    dx = px - mx  # (P, CHUNK)
+    dy = py - my
+    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    alpha_raw = op * jnp.exp(-jnp.maximum(sigma, 0.0))
+    inbox = (jnp.abs(dx) <= r) & (jnp.abs(dy) <= r)
+    live = inbox & (sigma >= 0.0) & (alpha_raw >= ALPHA_CUTOFF)
+    active = live & (alpha_raw < ALPHA_CLAMP)
+    alpha = jnp.where(live, jnp.minimum(alpha_raw, ALPHA_CLAMP), 0.0)
+    return alpha, dx, dy, active
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(counts_ref, data_ref, accum_ref, tfin_ref, *, tiles_x, cap, nchan):
+    t = pl.program_id(0)
+    count = counts_ref[t]
+    nchunks = pl.cdiv(count, CHUNK)
+
+    tx = (t % tiles_x).astype(jnp.float32)
+    ty = (t // tiles_x).astype(jnp.float32)
+    pid = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = tx * TILE + (pid % TILE).astype(jnp.float32) + 0.5
+    py = ty * TILE + (pid // TILE).astype(jnp.float32) + 0.5
+
+    accum_ref[0] = jnp.zeros((P, nchan), jnp.float32)
+
+    def body(ci, logT):
+        off = pl.multiple_of(ci * CHUNK, CHUNK)
+        d = data_ref[0, :, pl.ds(off, CHUNK)]
+        alpha, _, _, _ = _alpha_from_packed(d, px, py)
+        l1m = jnp.log1p(-alpha)
+        cum = _lane_cumsum(l1m)
+        T = jnp.exp(logT + cum - l1m)  # transmittance before each gaussian
+        w = alpha * T
+        chans = d[7 : 7 + nchan, :]  # (D, CHUNK)
+        accum_ref[0] += jax.lax.dot_general(
+            w, chans, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return logT + cum[:, -1:]
+
+    logT = jax.lax.fori_loop(0, nchunks, body, jnp.zeros((P, 1), jnp.float32))
+    tfin_ref[0] = jnp.exp(logT)  # (P, 1)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    counts_ref, data_ref, accum_ref, tfin_ref, gacc_ref, gt_ref, gdata_ref,
+    *, tiles_x, cap, nchan,
+):
+    t = pl.program_id(0)
+    count = counts_ref[t]
+    nchunks = pl.cdiv(count, CHUNK)
+
+    tx = (t % tiles_x).astype(jnp.float32)
+    ty = (t // tiles_x).astype(jnp.float32)
+    pid = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = tx * TILE + (pid % TILE).astype(jnp.float32) + 0.5
+    py = ty * TILE + (pid // TILE).astype(jnp.float32) + 0.5
+
+    gdata_ref[0] = jnp.zeros_like(gdata_ref[0])
+
+    gacc = gacc_ref[0]  # (P, D)
+    accum = accum_ref[0]  # (P, D)
+    total = jnp.sum(accum * gacc, axis=1, keepdims=True)  # (P, 1)
+    gt_term = gt_ref[0] * tfin_ref[0]  # (P, 1)
+
+    def body(ci, carry):
+        logT, prefix = carry
+        off = pl.multiple_of(ci * CHUNK, CHUNK)
+        d = data_ref[0, :, pl.ds(off, CHUNK)]
+        alpha, dx, dy, active = _alpha_from_packed(d, px, py)
+        l1m = jnp.log1p(-alpha)
+        cum = _lane_cumsum(l1m)
+        T = jnp.exp(logT + cum - l1m)
+        w = alpha * T
+
+        chans = d[7 : 7 + nchan, :]  # (D, CHUNK)
+        s = jax.lax.dot_general(
+            gacc, chans, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (P, CHUNK): per-pixel color·cotangent of each gaussian
+        ws = w * s
+        prefix_incl = prefix + _lane_cumsum(ws)
+        suffix = total - prefix_incl  # sum_{j>i} w_j s_j
+        g_alpha = T * s - (suffix + gt_term) / (1.0 - alpha)
+        g_alpha = jnp.where(active, g_alpha, 0.0)
+
+        ca = d[2:3, :]
+        cb = d[3:4, :]
+        cc = d[4:5, :]
+        op = d[5:6, :]
+        g_sigma = -alpha * g_alpha  # (P, CHUNK)
+        g_op = jnp.sum(
+            jnp.where(active, alpha / jnp.maximum(op, 1e-12) * g_alpha, 0.0),
+            axis=0, keepdims=True,
+        )
+        g_ca = jnp.sum(0.5 * dx * dx * g_sigma, axis=0, keepdims=True)
+        g_cb = jnp.sum(dx * dy * g_sigma, axis=0, keepdims=True)
+        g_cc = jnp.sum(0.5 * dy * dy * g_sigma, axis=0, keepdims=True)
+        g_mx = jnp.sum(-(ca * dx + cb * dy) * g_sigma, axis=0, keepdims=True)
+        g_my = jnp.sum(-(cc * dy + cb * dx) * g_sigma, axis=0, keepdims=True)
+        g_ch = jax.lax.dot_general(
+            gacc, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (D, CHUNK)
+        g_r = jnp.zeros_like(g_op)  # radius: not differentiated (hard cutoff)
+        grad_rows = jnp.concatenate(
+            [g_mx, g_my, g_ca, g_cb, g_cc, g_op, g_r, g_ch], axis=0
+        )  # (F, CHUNK)
+        gdata_ref[0, :, pl.ds(off, CHUNK)] = grad_rows
+        return logT + cum[:, -1:], prefix_incl[:, -1:]
+
+    jax.lax.fori_loop(
+        0,
+        nchunks,
+        body,
+        (jnp.zeros((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("tiles_x", "nchan"))
+def _composite_fwd_pallas(tile_data, counts, tiles_x, nchan):
+    T, F, cap = tile_data.shape
+    kernel = functools.partial(
+        _fwd_kernel, tiles_x=tiles_x, cap=cap, nchan=nchan
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, F, cap), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, P, nchan), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, 1), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, P, nchan), jnp.float32),
+            jax.ShapeDtypeStruct((T, P, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(counts, tile_data)
+
+
+@functools.partial(jax.jit, static_argnames=("tiles_x", "nchan"))
+def _composite_bwd_pallas(tile_data, counts, accum, tfin, gacc, gt, tiles_x, nchan):
+    T, F, cap = tile_data.shape
+    kernel = functools.partial(
+        _bwd_kernel, tiles_x=tiles_x, cap=cap, nchan=nchan
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, F, cap), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, nchan), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, 1), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, nchan), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, 1), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, F, cap), lambda t, c: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, F, cap), jnp.float32),
+        interpret=_interpret(),
+    )(counts, tile_data, accum, tfin, gacc, gt)
+
+
+# ---------------------------------------------------------------------------
+# XLA reference compositor (same tiled layout, pure jnp autodiff)
+# ---------------------------------------------------------------------------
+
+
+def _composite_xla(tile_data, counts, tiles_x, nchan):
+    """Differentiable reference for the Pallas kernels (any backend)."""
+    T = tile_data.shape[0]
+
+    def one_tile(d, t):
+        tx = (t % tiles_x).astype(jnp.float32)
+        ty = (t // tiles_x).astype(jnp.float32)
+        pid = jnp.arange(P)
+        px = (tx * TILE + (pid % TILE) + 0.5)[:, None]
+        py = (ty * TILE + (pid // TILE) + 0.5)[:, None]
+        alpha, _, _, _ = _alpha_from_packed(d, px, py)
+        l1m = jnp.log1p(-alpha)
+        cum = _lane_cumsum(l1m)
+        Tr = jnp.exp(cum - l1m)
+        w = alpha * Tr
+        accum = w @ d[7 : 7 + nchan, :].T
+        tfin = jnp.exp(cum[:, -1:])
+        return accum, tfin
+
+    return jax.vmap(one_tile)(tile_data, jnp.arange(T, dtype=jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp compositor
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def composite_tiles(tile_data, counts, tiles_x, nchan):
+    """(T, F, CAP), (T,) -> accum (T, P, D), T_fin (T, P) via Pallas."""
+    return _composite_fwd_pallas(tile_data, counts, tiles_x, nchan)
+
+
+def _composite_tiles_fwd(tile_data, counts, tiles_x, nchan):
+    accum, tfin = _composite_fwd_pallas(tile_data, counts, tiles_x, nchan)
+    return (accum, tfin), (tile_data, counts, accum, tfin)
+
+
+def _composite_tiles_bwd(tiles_x, nchan, res, cts):
+    tile_data, counts, accum, tfin = res
+    gacc, gt = cts
+    gdata = _composite_bwd_pallas(
+        tile_data, counts, accum, tfin, gacc, gt, tiles_x, nchan
+    )
+    return gdata, None
+
+
+composite_tiles.defvjp(_composite_tiles_fwd, _composite_tiles_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public rasterization API
+# ---------------------------------------------------------------------------
+
+
+def untile(accum, tfin, img_wh, tiles_xy, nchan):
+    """(T, P, D), (T, P, 1) -> image (H, W, D), T_fin image (H, W)."""
+    W, H = img_wh
+    tiles_x, tiles_y = tiles_xy
+    img = accum.reshape(tiles_y, tiles_x, TILE, TILE, nchan)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * TILE, tiles_x * TILE, nchan)
+    tf = tfin.reshape(tiles_y, tiles_x, TILE, TILE)
+    tf = tf.transpose(0, 2, 1, 3).reshape(tiles_y * TILE, tiles_x * TILE)
+    return img[:H, :W], tf[:H, :W]
+
+
+def rasterize(
+    proj: Projected,
+    opacities: jnp.ndarray,  # (G,)
+    channels: jnp.ndarray,  # (G, D)
+    background: jnp.ndarray,  # (D,)
+    img_wh: tuple[int, int],
+    cap: int = 512,
+    use_pallas: bool = True,
+):
+    """Full tile rasterization: bin -> composite -> untile.
+
+    Returns (img (H, W, D), alpha (H, W), binning) where img includes the
+    background blended by final transmittance and alpha = 1 - T_fin.
+    """
+    nchan = channels.shape[-1]
+    binning = pack_and_gather(proj, opacities, channels, img_wh, cap=cap)
+    tiles_x, tiles_y = binning.tiles_xy
+    if use_pallas:
+        accum, tfin = composite_tiles(
+            binning.tile_data, binning.counts, tiles_x, nchan
+        )
+    else:
+        accum, tfin = _composite_xla(
+            binning.tile_data, binning.counts, tiles_x, nchan
+        )
+    img, tf = untile(accum, tfin, img_wh, binning.tiles_xy, nchan)
+    img = img + tf[..., None] * background[None, None, :]
+    return img, 1.0 - tf, binning

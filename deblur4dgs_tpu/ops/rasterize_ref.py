@@ -39,8 +39,14 @@ def composite_pixels(
     alive: jnp.ndarray,  # (G,) bool — invalid/padded gaussians contribute 0
     channels: jnp.ndarray,  # (G, D)
     background: jnp.ndarray,  # (D,)
+    radii: jnp.ndarray | None = None,  # (G,) bounding-box cutoff (see below)
 ):
-    """Returns (out (P, D), alpha (P,)). Gaussians must be pre-sorted by depth."""
+    """Returns (out (P, D), alpha (P,)). Gaussians must be pre-sorted by depth.
+
+    When ``radii`` is given, contributions outside the |dx|,|dy| <= radius
+    bounding box are dropped — the same per-pixel cutoff the tiled Pallas
+    path applies, making oracle and tiled results bitwise-comparable.
+    """
     d = pix_xy[:, None, :] - means2d[None, :, :]  # (P, G, 2)
     dx, dy = d[..., 0], d[..., 1]
     a, b, c = conics[:, 0], conics[:, 1], conics[:, 2]
@@ -48,6 +54,9 @@ def composite_pixels(
     alpha = opacities[None, :] * jnp.exp(-jnp.maximum(sigma, 0.0))
     alpha = jnp.minimum(alpha, ALPHA_CLAMP)
     alpha = jnp.where((sigma < 0) | (alpha < ALPHA_CUTOFF) | ~alive[None, :], 0.0, alpha)
+    if radii is not None:
+        inbox = (jnp.abs(dx) <= radii[None, :]) & (jnp.abs(dy) <= radii[None, :])
+        alpha = jnp.where(inbox, alpha, 0.0)
 
     log_one_minus = jnp.log1p(-alpha)  # (P, G)
     logT = jnp.cumsum(log_one_minus, axis=-1)
@@ -65,6 +74,7 @@ def rasterize_ref(
     channels: jnp.ndarray,  # (G, D)
     background: jnp.ndarray,  # (D,)
     img_wh: tuple[int, int],
+    use_radius_cutoff: bool = True,
 ):
     """Rasterize projected gaussians to a full image.
 
@@ -78,6 +88,7 @@ def rasterize_ref(
     ops = opacities[order]
     alive = proj.valid[order]
     chans = channels[order]
+    radii = proj.radii[order] if use_radius_cutoff else None
 
     ys, xs = jnp.meshgrid(
         jnp.arange(H, dtype=jnp.float32) + 0.5,
@@ -85,7 +96,9 @@ def rasterize_ref(
         indexing="ij",
     )
     pix = jnp.stack([xs.ravel(), ys.ravel()], axis=-1)  # (P, 2), x first
-    out, alpha = composite_pixels(pix, means2d, conics, ops, alive, chans, background)
+    out, alpha = composite_pixels(
+        pix, means2d, conics, ops, alive, chans, background, radii
+    )
     D = channels.shape[-1]
     return out.reshape(H, W, D), alpha.reshape(H, W)
 

@@ -1,0 +1,160 @@
+"""Depth sorting + tile binning for the Pallas rasterizer.
+
+TPU-native replacement for gsplat's tile-intersection + per-tile radix sort
+(reference: gsplat v1.1.1 CUDA, called from
+/root/reference/flow3d/scene_model.py:360). GPU 3DGS builds variable-length
+per-tile lists with a global (tile_id, depth) radix sort; XLA wants static
+shapes, so we instead:
+
+  1. globally depth-sort all Gaussians once per view (stable argsort);
+  2. for each tile, select the first CAP intersecting Gaussians in sorted
+     order with a masked top-k (order-preserving, capacity-bounded);
+  3. gather their screen-space params into a dense [T, F, CAP] array that
+     the Pallas kernel consumes as VMEM blocks ([F, CAP] per tile,
+     CAP on the 128-lane axis).
+
+Overflowed tiles drop the *farthest* Gaussians (least visible under
+front-to-back compositing). `counts` reports both capped and raw counts so
+callers can monitor overflow.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from deblur4dgs_tpu.ops.projection import Projected
+
+TILE = 16  # pixels per tile side; P = TILE*TILE = 256 pixels per tile
+
+# Packed feature layout along F (sublane) axis of tile_data:
+#   0: mean2d.x   1: mean2d.y   2: conic.a   3: conic.b   4: conic.c
+#   5: opacity    6: radius     7..7+D: channels
+# Radius rides along so compositing can apply the per-pixel bounding-box
+# cutoff that makes tile membership exactly determine contributions (the
+# zero sentinel row then has radius 0 => contributes nothing by
+# construction).
+(
+    F_MEAN_X,
+    F_MEAN_Y,
+    F_CONIC_A,
+    F_CONIC_B,
+    F_CONIC_C,
+    F_OPACITY,
+    F_RADIUS,
+) = range(7)
+F_CHANNELS = 7
+
+
+class TileBinning(NamedTuple):
+    tile_data: jnp.ndarray  # (T, F, CAP) packed per-tile gaussian params
+    counts: jnp.ndarray  # (T,) int32 number of gaussians binned (<= CAP)
+    gather_idx: jnp.ndarray  # (T, CAP) int32 indices into the *sorted* arrays
+    order: jnp.ndarray  # (G,) sort order (sorted -> original index)
+    raw_counts: jnp.ndarray  # (T,) int32 pre-cap intersection counts
+    tiles_xy: tuple[int, int]  # (tiles_x, tiles_y)
+
+
+def num_tiles(img_wh: tuple[int, int]) -> tuple[int, int]:
+    W, H = img_wh
+    return (-(-W // TILE), -(-H // TILE))
+
+
+@functools.partial(jax.jit, static_argnames=("img_wh", "cap", "tile_batch"))
+def bin_gaussians(
+    proj: Projected,
+    img_wh: tuple[int, int],
+    cap: int = 512,
+    tile_batch: int = 256,
+):
+    """Compute per-tile capacity-bounded index lists in depth order.
+
+    Returns (gather_idx (T, CAP) into depth-sorted arrays, counts (T,),
+    raw_counts (T,), order (G,)). Entries beyond counts point at index G
+    (one past the end — callers append a zero sentinel row).
+    """
+    G = proj.depths.shape[0]
+    tiles_x, tiles_y = num_tiles(img_wh)
+    T = tiles_x * tiles_y
+
+    key = jnp.where(proj.valid, proj.depths, jnp.inf)
+    order = jnp.argsort(key, stable=True)  # (G,) front-most first
+    mx = proj.means2d[order, 0]
+    my = proj.means2d[order, 1]
+    r = proj.radii[order]
+    valid = proj.valid[order]
+
+    # Tile rectangles.
+    tids = jnp.arange(T, dtype=jnp.int32)
+    tx0 = (tids % tiles_x).astype(jnp.float32) * TILE
+    ty0 = (tids // tiles_x).astype(jnp.float32) * TILE
+
+    sorted_rank = jnp.arange(G, dtype=jnp.int32)
+
+    def bin_tile_batch(tx0b, ty0b):
+        # mask: (B, G) — bounding-square vs tile-rect overlap test
+        inter = (
+            (mx[None, :] + r[None, :] > tx0b[:, None])
+            & (mx[None, :] - r[None, :] < tx0b[:, None] + TILE)
+            & (my[None, :] + r[None, :] > ty0b[:, None])
+            & (my[None, :] - r[None, :] < ty0b[:, None] + TILE)
+            & valid[None, :]
+        )
+        raw = jnp.sum(inter, axis=1, dtype=jnp.int32)
+        # order-preserving first-CAP selection: top-k of (G - rank) over mask
+        score = jnp.where(inter, G - sorted_rank[None, :], 0)
+        if G < cap:  # top_k needs k <= axis size
+            score = jnp.pad(score, ((0, 0), (0, cap - G)))
+        topv, _ = jax.lax.top_k(score, cap)  # descending => ascending rank
+        idx = jnp.where(topv > 0, G - topv, G)  # G = sentinel (zero row)
+        cnt = jnp.minimum(raw, cap)
+        return idx.astype(jnp.int32), cnt, raw
+
+    # Batch tiles through lax.map to bound the (B, G) mask working set.
+    nb = -(-T // tile_batch)
+    pad = nb * tile_batch - T
+    tx0p = jnp.pad(tx0, (0, pad)).reshape(nb, tile_batch)
+    ty0p = jnp.pad(ty0, (0, pad)).reshape(nb, tile_batch)
+    idx, cnt, raw = jax.lax.map(lambda ab: bin_tile_batch(*ab), (tx0p, ty0p))
+    idx = idx.reshape(nb * tile_batch, cap)[:T]
+    cnt = cnt.reshape(-1)[:T]
+    raw = raw.reshape(-1)[:T]
+    return idx, cnt, raw, order
+
+
+def pack_and_gather(
+    proj: Projected,
+    opacities: jnp.ndarray,  # (G,)
+    channels: jnp.ndarray,  # (G, D)
+    img_wh: tuple[int, int],
+    cap: int = 512,
+) -> TileBinning:
+    """Full binning: sort, bin, and gather packed params to (T, F, CAP).
+
+    The gather (and therefore its transpose-scatter in the backward pass) is
+    a plain XLA gather over a (G+1, F) packed array with a zero sentinel
+    row, so autodiff of everything outside the Pallas compositor is
+    automatic.
+    """
+    gather_idx, counts, raw_counts, order = bin_gaussians(proj, img_wh, cap)
+    packed = jnp.concatenate(
+        [
+            proj.means2d,
+            proj.conics,
+            opacities[:, None],
+            proj.radii[:, None],
+            channels,
+        ],
+        axis=-1,
+    )[order]
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((1, packed.shape[-1]), packed.dtype)], axis=0
+    )
+    tile_data = packed[gather_idx]  # (T, CAP, F)
+    tile_data = jnp.swapaxes(tile_data, -1, -2)  # (T, F, CAP): CAP on lanes
+    return TileBinning(
+        tile_data, counts, gather_idx, order, raw_counts, num_tiles(img_wh)
+    )
