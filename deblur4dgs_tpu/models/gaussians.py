@@ -29,7 +29,9 @@ class Gaussians(NamedTuple):
     colors: jnp.ndarray  # (N, 3) logit RGB
     opacities: jnp.ndarray  # (N,) logit
     motion_coefs: jnp.ndarray | None = None  # (N, K) pre-softmax
-    alive: jnp.ndarray | None = None  # (N,) bool; None => all alive
+    # float 1.0/0.0 mask (float so the pytree stays optax/grad-friendly;
+    # the optimizer labels it frozen). None => all alive.
+    alive: jnp.ndarray | None = None
 
     @property
     def capacity(self) -> int:
@@ -38,12 +40,13 @@ class Gaussians(NamedTuple):
     def num_alive(self) -> jnp.ndarray:
         if self.alive is None:
             return jnp.asarray(self.capacity)
-        return jnp.sum(self.alive)
+        return jnp.sum(self.alive > 0.5)
 
     def get_alive(self) -> jnp.ndarray:
+        """Bool aliveness mask."""
         if self.alive is None:
             return jnp.ones((self.capacity,), bool)
-        return self.alive
+        return self.alive > 0.5
 
     # Activations (params.py:39-43).
     def get_quats(self) -> jnp.ndarray:
@@ -72,7 +75,7 @@ def pad_to_capacity(g: Gaussians, capacity: int) -> Gaussians:
     n = g.capacity
     assert capacity >= n
     extra = capacity - n
-    alive = g.get_alive()
+    alive = g.get_alive().astype(jnp.float32)
 
     def pad(x):
         if x is None:
@@ -81,14 +84,17 @@ def pad_to_capacity(g: Gaussians, capacity: int) -> Gaussians:
             [x, jnp.zeros((extra,) + x.shape[1:], x.dtype)], axis=0
         )
 
+    quats = pad(g.quats)
+    if extra:
+        quats = quats.at[n:, 0].set(1.0)  # keep dead quats normalizable
     return Gaussians(
         means=pad(g.means),
-        quats=pad(g.quats).at[n:, 0].set(1.0) if extra else g.quats,
+        quats=quats,
         scales=pad(g.scales),
         colors=pad(g.colors),
-        opacities=pad(g.opacities) - (0.0 if not extra else 0.0),
+        opacities=pad(g.opacities),
         motion_coefs=pad(g.motion_coefs),
-        alive=jnp.concatenate([alive, jnp.zeros((extra,), bool)]),
+        alive=jnp.concatenate([alive, jnp.zeros((extra,), jnp.float32)]),
     )
 
 

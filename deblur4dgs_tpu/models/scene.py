@@ -230,7 +230,7 @@ def render(
             max_mask = jnp.maximum(max_mask, img[..., mstart : mstart + 1])
         if return_depth:
             min_depth = jnp.minimum(min_depth, img[..., -1:])
-        stacked = (img[..., :3], alpha)
+        stacked = (img[..., :3], alpha, proj.radii)
         return (sum_img, sum_alpha, max_mask, min_depth), stacked
 
     carry0 = (
@@ -239,7 +239,7 @@ def render(
         jnp.full((H, W, 1), -jnp.inf),
         jnp.full((H, W, 1), jnp.inf),
     )
-    (sum_img, sum_alpha, max_mask, min_depth), (rgb_stack, alpha_stack) = (
+    (sum_img, sum_alpha, max_mask, min_depth), (rgb_stack, alpha_stack, radii_stack) = (
         jax.lax.scan(subframe, carry0, (samples.poses, samples.times, means2d_tap))
     )
 
@@ -265,4 +265,5 @@ def render(
     out["pred_sharp_img"] = rgb_stack[S // 2]
     out["exposure_imgs"] = rgb_stack
     out["exposure_alphas"] = alpha_stack
+    out["radii"] = radii_stack  # (S, N) per-sub-frame screen radii
     return out
