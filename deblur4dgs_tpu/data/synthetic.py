@@ -1,0 +1,255 @@
+"""Synthetic dynamic blurry-video scenes for tests and benchmarks.
+
+The reference trains on Shape-of-Motion-preprocessed stereo blur data
+(/root/reference/flow3d/data/stereo_low_dataset.py) which isn't available
+here; this module fabricates an equivalent supervision bundle from a
+known ground-truth Gaussian scene:
+
+  * fg Gaussians animated by ground-truth SE(3) motion bases;
+  * static bg Gaussians on a backdrop shell;
+  * blurry observations = average of sub-frame renders across a known
+    exposure window (the same forward model the trainer inverts);
+  * masks / depths / 2D tracks derived from the ground-truth scene.
+
+Everything renders through the oracle path so dataset quality is
+independent of the kernels under test.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deblur4dgs_tpu.models.gaussians import Gaussians
+from deblur4dgs_tpu.models.motion_bases import (
+    MotionBases,
+    compute_transforms,
+    transform_gaussians,
+)
+from deblur4dgs_tpu.ops import lie
+from deblur4dgs_tpu.ops.projection import project
+from deblur4dgs_tpu.ops.rasterize_ref import render_ref
+
+
+class SyntheticScene(NamedTuple):
+    fg: Gaussians
+    bg: Gaussians
+    bases: MotionBases
+    w2cs: jnp.ndarray  # (T, 4, 4) per-frame cameras
+    Ks: jnp.ndarray  # (T, 3, 3)
+    img_wh: tuple[int, int]
+    exposure: float  # GT exposure half-width (frame units)
+
+
+def _logit(x):
+    return np.log(x) - np.log1p(-x)
+
+
+def make_scene(
+    seed: int = 0,
+    num_fg: int = 120,
+    num_bg: int = 300,
+    num_frames: int = 8,
+    num_bases: int = 4,
+    img_wh: tuple[int, int] = (64, 48),
+    exposure: float = 0.4,
+    cam_shake: float = 0.015,
+) -> SyntheticScene:
+    rng = np.random.default_rng(seed)
+    W, H = img_wh
+    f = 0.9 * max(W, H)
+
+    # fg: a compact cluster that translates + rotates over time
+    fg_means = rng.normal(0, 0.25, (num_fg, 3)).astype(np.float32)
+    fg_means[:, 2] *= 0.3
+    fg = Gaussians(
+        means=jnp.asarray(fg_means),
+        quats=jnp.asarray(rng.normal(size=(num_fg, 4)).astype(np.float32)),
+        scales=jnp.full((num_fg, 3), np.log(0.045), jnp.float32),
+        colors=jnp.asarray(
+            _logit(rng.uniform(0.25, 0.95, (num_fg, 3))).astype(np.float32)
+        ),
+        opacities=jnp.full((num_fg,), _logit(0.92), jnp.float32),
+        motion_coefs=jnp.asarray(
+            (rng.normal(0, 0.5, (num_fg, num_bases))).astype(np.float32)
+        ),
+    )
+
+    # bg: a static shell behind the fg
+    phi = rng.uniform(0, 2 * np.pi, num_bg)
+    bg_means = np.stack(
+        [
+            1.8 * np.cos(phi) * rng.uniform(0.3, 1.0, num_bg),
+            1.2 * np.sin(phi) * rng.uniform(0.3, 1.0, num_bg),
+            rng.uniform(1.2, 2.0, num_bg),
+        ],
+        -1,
+    ).astype(np.float32)
+    bg = Gaussians(
+        means=jnp.asarray(bg_means),
+        quats=jnp.asarray(rng.normal(size=(num_bg, 4)).astype(np.float32)),
+        scales=jnp.asarray(
+            np.log(rng.uniform(0.08, 0.2, (num_bg, 3))).astype(np.float32)
+        ),
+        colors=jnp.asarray(
+            _logit(rng.uniform(0.1, 0.9, (num_bg, 3))).astype(np.float32)
+        ),
+        opacities=jnp.full((num_bg,), _logit(0.95), jnp.float32),
+    )
+
+    # GT motion bases: smooth sinusoidal per-basis trajectories
+    t = np.linspace(0, 2 * np.pi, num_frames)
+    rots6, transls = [], []
+    for k in range(num_bases):
+        amp = 0.35 * (k + 1) / num_bases
+        ang = amp * np.sin(t + k)  # rotation about a per-basis axis
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        R = lie.so3_exp(jnp.asarray((ang[:, None] * axis).astype(np.float32)))
+        rots6.append(lie.rmat_to_cont_6d(R))
+        tr = 0.35 * np.stack(
+            [np.sin(t + 2 * k), np.cos(t + k) - np.cos(float(k)), 0.1 * np.sin(2 * t + k)], -1
+        ) * (k + 1) / num_bases
+        transls.append(jnp.asarray(tr.astype(np.float32)))
+    bases = MotionBases(rots=jnp.stack(rots6), transls=jnp.stack(transls))
+
+    # cameras orbit slightly; scene pushed +z in front
+    w2cs = []
+    for i in range(num_frames):
+        wu = np.concatenate(
+            [
+                cam_shake * rng.normal(size=3),
+                cam_shake * rng.normal(size=3),
+            ]
+        ).astype(np.float32)
+        base = np.eye(4, dtype=np.float32)
+        base[2, 3] = 2.5  # camera at z=-2.5 looking at origin
+        delta = np.asarray(lie.rt_to_mat4(*_split(lie.se3_exp(jnp.asarray(wu)))))
+        w2cs.append(delta @ base)
+    Kmat = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    return SyntheticScene(
+        fg=fg,
+        bg=bg,
+        bases=bases,
+        w2cs=jnp.asarray(np.stack(w2cs)),
+        Ks=jnp.broadcast_to(jnp.asarray(Kmat), (num_frames, 3, 3)),
+        img_wh=img_wh,
+        exposure=exposure,
+    )
+
+
+def _split(pose34):
+    return pose34[:3, :3], pose34[:3, 3]
+
+
+def gt_gaussians_at(scene: SyntheticScene, t_frac: jnp.ndarray):
+    """All GT gaussians (fg deformed at t + static bg): means, quats,
+    scales, opacities, colors."""
+    coefs = scene.fg.get_coefs()
+    tf = compute_transforms(scene.bases, jnp.asarray([t_frac]), coefs)
+    fgm, fgq = transform_gaussians(tf, scene.fg.means, scene.fg.get_quats())
+    means = jnp.concatenate([fgm[:, 0], scene.bg.means], 0)
+    quats = jnp.concatenate([fgq[:, 0], scene.bg.get_quats()], 0)
+    scales = jnp.concatenate([scene.fg.get_scales(), scene.bg.get_scales()], 0)
+    opac = jnp.concatenate([scene.fg.get_opacities(), scene.bg.get_opacities()], 0)
+    colors = jnp.concatenate([scene.fg.get_colors(), scene.bg.get_colors()], 0)
+    return means, quats, scales, opac, colors
+
+
+def render_frame(scene: SyntheticScene, t_frac, w2c, K, channels=None, bg=1.0):
+    means, quats, scales, opac, colors = gt_gaussians_at(scene, t_frac)
+    ch = colors if channels is None else channels
+    return render_ref(
+        means, quats, scales, opac, ch, w2c, K, scene.img_wh, bg
+    )
+
+
+class SyntheticDataset(NamedTuple):
+    """Training bundle mirroring the reference dataset fields."""
+
+    imgs: jnp.ndarray  # (T, H, W, 3) blurry observations
+    sharp_imgs: jnp.ndarray  # (T, H, W, 3) GT mid-exposure (eval only)
+    masks: jnp.ndarray  # (T, H, W) fg masks
+    depths: jnp.ndarray  # (T, H, W)
+    w2cs: jnp.ndarray
+    Ks: jnp.ndarray
+    tracks_3d: jnp.ndarray  # (T, P, 3) world-space GT track points
+    tracks_2d: jnp.ndarray  # (T, P, 2) pixel-space tracks
+    track_depths: jnp.ndarray  # (T, P)
+    track_visibles: jnp.ndarray  # (T, P)
+
+
+def generate_dataset(
+    scene: SyntheticScene, num_blur_samples: int = 7, num_tracks: int = 64,
+    seed: int = 0,
+) -> SyntheticDataset:
+    T = scene.w2cs.shape[0]
+    W, H = scene.img_wh
+    rng = np.random.default_rng(seed)
+    track_ids = rng.choice(scene.fg.capacity, size=num_tracks, replace=False)
+
+    imgs, sharps, masks, depths = [], [], [], []
+    tracks3, tracks2, tdepths, tvis = [], [], [], []
+    for i in range(T):
+        w2c, K = scene.w2cs[i], scene.Ks[i]
+        # blurry = mean of sub-frame renders across the exposure window
+        acc = None
+        ts = np.linspace(i - scene.exposure, i + scene.exposure, num_blur_samples)
+        ts = np.clip(ts, 0, T - 1)
+        for tf in ts:
+            img, _ = render_frame(scene, float(tf), w2c, K)
+            acc = img if acc is None else acc + img
+        imgs.append(acc / num_blur_samples)
+
+        sharp, _ = render_frame(scene, float(i), w2c, K)
+        sharps.append(sharp)
+
+        # fg mask + depth via channel multiplexing at mid-exposure
+        means, quats, scales, opac, colors = gt_gaussians_at(scene, float(i))
+        nfg = scene.fg.capacity
+        maskv = jnp.concatenate(
+            [jnp.ones((nfg, 1)), jnp.zeros((means.shape[0] - nfg, 1))], 0
+        )
+        proj = project(means, quats, scales, w2c, K, scene.img_wh)
+        ch = jnp.concatenate([maskv, proj.depths[:, None]], -1)
+        out, alpha = render_ref(
+            means, quats, scales, opac, ch, w2c, K, scene.img_wh,
+            jnp.zeros(2),
+        )
+        masks.append((out[..., 0] > 0.5).astype(np.float32))
+        depths.append(out[..., 1] / np.maximum(np.asarray(alpha), 1e-6))
+
+        # GT tracks: fg subset positions at time i
+        coefs = scene.fg.get_coefs()[track_ids]
+        tf3 = compute_transforms(scene.bases, jnp.asarray([float(i)]), coefs)
+        pm, _ = transform_gaussians(
+            tf3, scene.fg.means[track_ids], scene.fg.get_quats()[track_ids]
+        )
+        pts = pm[:, 0]  # (P, 3) world
+        cam = lie.pose_apply(w2c[:3], pts)
+        uvz = (K @ cam.T).T
+        uv = uvz[:, :2] / jnp.maximum(uvz[:, 2:], 1e-6)
+        vis = (
+            (uv[:, 0] >= 0) & (uv[:, 0] < W) & (uv[:, 1] >= 0) & (uv[:, 1] < H)
+            & (cam[:, 2] > 0.05)
+        )
+        tracks3.append(pts)
+        tracks2.append(uv)
+        tdepths.append(cam[:, 2])
+        tvis.append(vis)
+
+    return SyntheticDataset(
+        imgs=jnp.stack(imgs),
+        sharp_imgs=jnp.stack(sharps),
+        masks=jnp.stack(masks),
+        depths=jnp.stack(depths),
+        w2cs=scene.w2cs,
+        Ks=scene.Ks,
+        tracks_3d=jnp.stack(tracks3),
+        tracks_2d=jnp.stack(tracks2),
+        track_depths=jnp.stack(tdepths),
+        track_visibles=jnp.stack(tvis),
+    )

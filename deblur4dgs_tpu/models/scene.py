@@ -138,6 +138,7 @@ def render(
     cap: int = 512,
     use_pallas: bool = True,
     means2d_tap: jnp.ndarray | None = None,  # (S, N, 2) zeros; grads => density stats
+    subframe_sharding=None,  # jax Sharding for the S axis => vmap+GSPMD path
 ) -> dict:
     assert not (fg_only and bg_only)
     W, H = img_wh
@@ -195,9 +196,9 @@ def render(
     if means2d_tap is None:
         means2d_tap = jnp.zeros((S, N, 2))
 
-    # --- scan over sub-frames ---------------------------------------------
-    def subframe(carry, xs):
-        pose, time, tap = xs
+    # --- per-sub-frame render body -----------------------------------------
+    def one_subframe(pose, time, tap):
+        """(pose (3,4), time (), tap (N,2)) -> (img (H,W,D), alpha, radii)."""
         means_w, quats_w = _poses_at_time(
             scene, time, fg_only, bg_only
         ) if t is not None else (
@@ -221,27 +222,53 @@ def render(
             # expected depth (gsplat RGB+ED): normalize by alpha
             dch = img[..., -1:] / jnp.maximum(alpha[..., None], 1e-10)
             img = jnp.concatenate([img[..., :-1], dch], axis=-1)
+        return img, alpha, proj.radii
 
-        sum_img, sum_alpha, max_mask, min_depth = carry
-        sum_img = sum_img + img
-        sum_alpha = sum_alpha + alpha
-        if return_mask:
-            mstart = 3
-            max_mask = jnp.maximum(max_mask, img[..., mstart : mstart + 1])
-        if return_depth:
-            min_depth = jnp.minimum(min_depth, img[..., -1:])
-        stacked = (img[..., :3], alpha, proj.radii)
-        return (sum_img, sum_alpha, max_mask, min_depth), stacked
+    if subframe_sharding is not None:
+        # Multi-chip path: vmap over the exposure axis, sharded across the
+        # mesh; XLA/GSPMD turns the reductions below into collectives over
+        # ICI (SURVEY.md §5: sub-frame/exposure parallelism).
+        xs = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, subframe_sharding),
+            (samples.poses, samples.times, means2d_tap),
+        )
+        imgs, alphas, radii_stack = jax.vmap(one_subframe)(*xs)
+        sum_img = jnp.sum(imgs, axis=0)
+        sum_alpha = jnp.sum(alphas, axis=0)
+        max_mask = (
+            jnp.max(imgs[..., 3:4], axis=0) if return_mask else None
+        )
+        min_depth = jnp.min(imgs[..., -1:], axis=0) if return_depth else None
+        rgb_stack = imgs[..., :3]
+        alpha_stack = alphas
+    else:
+        # Single-chip path: sequential scan, carry-accumulated reductions
+        # (bounds memory: only rgb/alpha stacks are materialized per
+        # sub-frame, never the wide track-channel renders).
+        def subframe(carry, xs):
+            img, alpha, radii = one_subframe(*xs)
+            sum_img, sum_alpha, max_mask, min_depth = carry
+            sum_img = sum_img + img
+            sum_alpha = sum_alpha + alpha
+            if return_mask:
+                max_mask = jnp.maximum(max_mask, img[..., 3:4])
+            if return_depth:
+                min_depth = jnp.minimum(min_depth, img[..., -1:])
+            return (sum_img, sum_alpha, max_mask, min_depth), (
+                img[..., :3], alpha, radii,
+            )
 
-    carry0 = (
-        jnp.zeros((H, W, D)),
-        jnp.zeros((H, W)),
-        jnp.full((H, W, 1), -jnp.inf),
-        jnp.full((H, W, 1), jnp.inf),
-    )
-    (sum_img, sum_alpha, max_mask, min_depth), (rgb_stack, alpha_stack, radii_stack) = (
-        jax.lax.scan(subframe, carry0, (samples.poses, samples.times, means2d_tap))
-    )
+        carry0 = (
+            jnp.zeros((H, W, D)),
+            jnp.zeros((H, W)),
+            jnp.full((H, W, 1), -jnp.inf),
+            jnp.full((H, W, 1), jnp.inf),
+        )
+        (sum_img, sum_alpha, max_mask, min_depth), (
+            rgb_stack, alpha_stack, radii_stack,
+        ) = jax.lax.scan(
+            subframe, carry0, (samples.poses, samples.times, means2d_tap)
+        )
 
     avg = sum_img / S
     acc = sum_alpha / S

@@ -1,0 +1,37 @@
+"""Device mesh + sharding helpers.
+
+The reference is strictly single-GPU (SURVEY.md §5: no distributed code at
+all); scaling here is TPU-native via jax.sharding. Parallel axes (SURVEY.md
+§5 "long-context analogs"):
+
+  * 'sub' — exposure sub-frame parallelism: the K sub-frame renders of a
+    blurry frame are independent until the averaging reduction; sharding
+    the vmapped sub-frame axis lets GSPMD place one (or more) sub-frame
+    render+backward per chip and turn the mean/max/min reductions and the
+    Gaussian-parameter gradient reductions into ICI collectives.
+
+Gaussians are replicated (they are small relative to pixels); their
+gradients are psum'd by GSPMD automatically through the vmap-sharded path.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "sub") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def subframe_sharding(mesh: Mesh, axis: str = "sub") -> NamedSharding:
+    """Sharding for arrays whose leading dim is the exposure sub-frame."""
+    return NamedSharding(mesh, PartitionSpec(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec())

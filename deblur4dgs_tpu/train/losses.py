@@ -13,6 +13,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from deblur4dgs_tpu.ops.lie import _safe_norm
+
 # ---------------------------------------------------------------------------
 # Quantile-trimmed masked losses (loss_utils.py:7-68)
 # ---------------------------------------------------------------------------
@@ -140,9 +142,12 @@ def ssim_loss(img1, img2, **kw):
 
 
 def compute_accel_loss(x):
-    """x: (K, T, d) — central-difference acceleration norm."""
+    """x: (K, T, d) — central-difference acceleration norm.
+
+    Uses a zero-safe norm: at exactly-zero acceleration (e.g. identity
+    bases at init) jnp.linalg.norm has a NaN gradient."""
     accel = 2 * x[:, 1:-1] - x[:, :-2] - x[:, 2:]
-    return jnp.mean(jnp.linalg.norm(accel, axis=-1))
+    return jnp.mean(_safe_norm(accel))
 
 
 def compute_se3_smoothness_loss(rots, transls, weight_rot=1.0, weight_transl=2.0):

@@ -134,6 +134,7 @@ def compute_static_losses(
     lcfg: LossesConfig,
     rcfg: RenderConfig,
     stage: str,
+    subframe_sharding=None,
 ):
     """Static branch (trainer.py:276-434): bg-only blurry renders.
 
@@ -150,6 +151,7 @@ def compute_static_losses(
             return_mask=True, return_depth=True, bg_color=1.0,
             num_exposure=rcfg.num_exposure, cap=rcfg.tile_cap,
             use_pallas=rcfg.use_pallas, means2d_tap=tap,
+            subframe_sharding=subframe_sharding,
         )
         keep = {
             "img": out["img"],
@@ -219,6 +221,7 @@ def compute_dynamic_losses(
     num_window_frames: int,
     batch4_imgs: jnp.ndarray | None = None,  # (1, H/4, W/4, 3) multires guide
     flow_fn=None,
+    subframe_sharding=None,
 ):
     """Dynamic branch (trainer.py:436-793): full blurry render + tracks."""
     B, H, W = batch.imgs.shape[:3]
@@ -234,6 +237,7 @@ def compute_dynamic_losses(
         return_mask=True, return_depth=True, bg_color=1.0,
         num_exposure=rcfg.num_exposure, cap=rcfg.tile_cap,
         use_pallas=rcfg.use_pallas, means2d_tap=taps[0],
+        subframe_sharding=subframe_sharding,
     )
 
     masks = (batch.masks * batch.valid_masks)[0]  # (H, W)
@@ -278,7 +282,11 @@ def compute_dynamic_losses(
     # 2D track loss (trainer.py:633-667), gathered at on-grid query pixels.
     pred_tracks_3d = out["tracks_3d"].reshape(H * W, Bt, 3).transpose(1, 0, 2)
     pred_2d_h = jnp.einsum("bij,bpj->bpi", tracks.target_Ks, pred_tracks_3d)
-    mapped_depth = jnp.maximum(pred_2d_h[..., 2:], 1e-6)  # (Bt, HW, 1)
+    # The reference clamps at 1e-6 (trainer.py:641), letting the disparity
+    # loss reach ~1e5 at barely-covered query pixels, which can destabilize
+    # training when track coverage is thin. We bound depth at 1e-2 —
+    # identical for any valid normalized-scene depth, bounded blowup.
+    mapped_depth = jnp.maximum(pred_2d_h[..., 2:], 1e-2)  # (Bt, HW, 1)
     pred_2d = pred_2d_h[..., :2] / mapped_depth
 
     q = tracks.query_tracks_2d.astype(jnp.int32)  # (P, 2) x,y on grid
@@ -328,7 +336,8 @@ def compute_dynamic_losses(
     means_nb = jnp.einsum("gnij,gj->gni", transfms_nb, means_h)  # (G, 3, 3)
     means_nb_b = means_nb[:, :, None, :]  # (G, 3, B=1, 3)
     accel = 2 * means_nb[:, 1:2] - means_nb[:, 0:1] - means_nb[:, 2:3]
-    track_smooth = 0.5 * jnp.mean(jnp.linalg.norm(accel, axis=-1))
+    from deblur4dgs_tpu.ops.lie import _safe_norm
+    track_smooth = 0.5 * jnp.mean(_safe_norm(accel))
     loss += track_smooth * lcfg.w_smooth_tracks
 
     loss += lcfg.w_scale_var * L.scale_variance_loss(
@@ -362,6 +371,7 @@ def compute_dynamic_losses(
 
     aux = {
         "radii": out["radii"][None],  # (B=1, S, N)
+        "mapped_depth_loss": mapped_depth_loss,
         "mask_loss": mask_loss,
         "track_2d_loss": track_2d_loss,
         "depth_loss": depth_loss,
@@ -415,6 +425,7 @@ def make_train_step(
     has_reg: bool,
     has_batch4: bool = False,
     flow_fn=None,
+    subframe_sharding=None,
 ):
     """Build the jitted train step for one (stage, branch-combination).
 
@@ -453,7 +464,8 @@ def make_train_step(
             aux = {}
             if has_static:
                 l, a = compute_static_losses(
-                    scene, batch_static, taps["static"], lcfg, rcfg, stage
+                    scene, batch_static, taps["static"], lcfg, rcfg, stage,
+                    subframe_sharding=subframe_sharding,
                 )
                 total = total + l
                 aux["static"] = a
@@ -463,6 +475,7 @@ def make_train_step(
                     stage, epoch, num_window_frames,
                     batch4_imgs=batch4_imgs if has_batch4 else None,
                     flow_fn=flow_fn,
+                    subframe_sharding=subframe_sharding,
                 )
                 total = total + l
                 aux["dynamic"] = a
@@ -522,6 +535,7 @@ def compute_static_reg_losses(
     lcfg: LossesConfig,
     rcfg: RenderConfig,
     stage: str,
+    subframe_sharding=None,
 ):
     """Static-reg branch (trainer.py:795-920): bg-only MID render vs the
     stage-1 deblurred outputs, stabilizing bg during stage 2."""
