@@ -149,6 +149,15 @@ def main():
     jax.block_until_ready(loss)
     dt = (time.time() - t0) / n
 
+    # sanity: the scene must still render non-trivially after the steps
+    means = state.scene.fg.means
+    finite = bool(jnp.all(jnp.isfinite(means)))
+    print(
+        f"# sanity: params finite={finite}, "
+        f"mean|means|={float(jnp.abs(means).mean()):.3f}",
+        file=sys.stderr,
+    )
+
     rays_per_s = W * H * 1 / dt
     print(
         json.dumps(

@@ -78,22 +78,25 @@ def make_scene(
         ),
     )
 
-    # bg: a static shell behind the fg
-    phi = rng.uniform(0, 2 * np.pi, num_bg)
+    # bg: a dense backdrop wall covering the whole view frustum (the
+    # reference's bg init unprojects every non-fg pixel, so real scenes have
+    # full bg coverage; an undersampled bg makes the acc->1 mask loss
+    # inflate gaussians into empty pixels and corrupt depth)
+    g = int(np.ceil(np.sqrt(num_bg)))
+    gx, gy = np.meshgrid(np.linspace(-1, 1, g), np.linspace(-1, 1, g))
+    z_wall = 1.6  # behind the fg (camera sits at -2.5 along +z; see below)
+    span = 1.25 * (2.5 + z_wall) / f * max(W, H) / 2.0
     bg_means = np.stack(
-        [
-            1.8 * np.cos(phi) * rng.uniform(0.3, 1.0, num_bg),
-            1.2 * np.sin(phi) * rng.uniform(0.3, 1.0, num_bg),
-            rng.uniform(1.2, 2.0, num_bg),
-        ],
+        [gx.ravel() * span * W / max(W, H), gy.ravel() * span * H / max(W, H),
+         np.full(g * g, z_wall)],
         -1,
-    ).astype(np.float32)
+    )[:num_bg].astype(np.float32)
+    bg_means += rng.normal(0, 0.02, bg_means.shape).astype(np.float32)
+    bg_spacing = 2 * span * W / max(W, H) / g
     bg = Gaussians(
         means=jnp.asarray(bg_means),
         quats=jnp.asarray(rng.normal(size=(num_bg, 4)).astype(np.float32)),
-        scales=jnp.asarray(
-            np.log(rng.uniform(0.08, 0.2, (num_bg, 3))).astype(np.float32)
-        ),
+        scales=jnp.full((num_bg, 3), np.log(1.2 * bg_spacing), jnp.float32),
         colors=jnp.asarray(
             _logit(rng.uniform(0.1, 0.9, (num_bg, 3))).astype(np.float32)
         ),

@@ -181,11 +181,14 @@ def compute_static_losses(
     loss = rgb_loss * lcfg.w_rgb
 
     depth_masks = inv
-    pred_disp = 1.0 / (outs["depth"] + 1e-5)
-    tgt_disp = 1.0 / (batch.depths[..., None] + 1e-5)
-    loss += lcfg.w_depth_reg * L.masked_l1_loss(
+    # depth bounded below (see mapped_depth note): uncovered pixels give
+    # ED depth ~0 and an unbounded disparity that destabilizes training
+    pred_disp = 1.0 / jnp.maximum(outs["depth"], 1e-2)
+    tgt_disp = 1.0 / jnp.maximum(batch.depths[..., None], 1e-2)
+    depth_l1 = L.masked_l1_loss(
         pred_disp, tgt_disp, mask=depth_masks[..., 0], quantile=0.98
     )
+    loss += lcfg.w_depth_reg * depth_l1
     grad_l = jnp.mean(
         jax.vmap(
             lambda p, g, m: L.compute_gradient_loss(p, g, m, quantile=0.95)
@@ -206,7 +209,14 @@ def compute_static_losses(
     ) if B == 3 else 0.0
     loss = loss + cont
 
-    return loss, {"radii": outs["radii"], "rgb_loss": rgb_loss}
+    aux = {
+        "radii": outs["radii"],
+        "rgb_loss": rgb_loss,
+        "depth_l1": depth_l1,
+        "depth_grad": grad_l,
+        "pose_cont": cont,
+    }
+    return loss, aux
 
 
 def compute_dynamic_losses(
@@ -304,17 +314,17 @@ def compute_dynamic_losses(
     ) / max(H, W)
     loss += track_2d_loss * lcfg.w_track
 
-    # Depth losses (trainer.py:669-689).
-    pred_disp = 1.0 / (out["depth"] + 1e-5)
-    tgt_disp = 1.0 / (batch.depths[0][..., None] + 1e-5)
+    # Depth losses (trainer.py:669-689); bounded like the static branch.
+    pred_disp = 1.0 / jnp.maximum(out["depth"], 1e-2)
+    tgt_disp = 1.0 / jnp.maximum(batch.depths[0][..., None], 1e-2)
     depth_loss = L.masked_l1_loss(
         pred_disp, tgt_disp, mask=masks, quantile=0.98
     )
     loss += depth_loss * lcfg.w_depth_reg
 
     mapped_depth_loss = L.masked_l1_loss(
-        1.0 / (depth_at_q[..., None] + 1e-5),
-        1.0 / (tracks.target_track_depths[..., None] + 1e-5),
+        1.0 / depth_at_q[..., None],  # already bounded >= 1e-2
+        1.0 / jnp.maximum(tracks.target_track_depths[..., None], 1e-2),
         mask=vis_w,
     )
     loss += mapped_depth_loss * lcfg.w_depth_const
@@ -371,11 +381,16 @@ def compute_dynamic_losses(
 
     aux = {
         "radii": out["radii"][None],  # (B=1, S, N)
+        "rgb_dyn": rgb_dyn,
+        "rgb_full": rgb_full,
         "mapped_depth_loss": mapped_depth_loss,
         "mask_loss": mask_loss,
         "track_2d_loss": track_2d_loss,
         "depth_loss": depth_loss,
+        "smooth_bases": small_accel,
+        "track_smooth": track_smooth,
         "z_accel": z_accel,
+        "exp_reg": exp_reg,
         "delta_t": dt,
     }
     return loss, aux
