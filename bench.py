@@ -146,7 +146,9 @@ def main():
     t0 = time.time()
     for _ in range(n):
         state, loss, _ = step(state, epoch, None, batch, tracks, None, None)
-    jax.block_until_ready(loss)
+        # block on the FULL state: blocking only on `loss` under-reports
+        # (async dispatch returns loss before the optimizer update lands)
+        jax.block_until_ready(state)
     dt = (time.time() - t0) / n
 
     # sanity: the scene must still render non-trivially after the steps
