@@ -185,6 +185,111 @@ class SyntheticDataset(NamedTuple):
     track_visibles: jnp.ndarray  # (T, P)
 
 
+class SyntheticSceneAdapter:
+    """Dataset-interface adapter over a SyntheticScene + SyntheticDataset,
+    so the staged pipeline (pipeline.py) runs end-to-end without real data.
+    Mirrors the StereoDataset surface the pipeline consumes."""
+
+    def __init__(self, scene: "SyntheticScene", data: "SyntheticDataset",
+                 num_targets_per_frame: int = 2, seed: int = 0,
+                 split: str = "train"):
+        self.scene = scene
+        self.data = data
+        self.split = split
+        self.training = split == "train"
+        self.rng = np.random.default_rng(seed)
+        self.num_targets = num_targets_per_frame
+        T = data.imgs.shape[0]
+        self.start, self.end = 0, T
+        self.Ks = np.asarray(data.Ks)
+        self.w2cs = np.asarray(data.w2cs)
+        self.imgs = np.asarray(data.imgs)
+        self.masks = np.asarray(data.masks)
+
+    def __len__(self):
+        return self.imgs.shape[0]
+
+    @property
+    def num_frames(self):
+        return self.imgs.shape[0]
+
+    def get_dyn_time_ids(self):
+        return np.arange(self.num_frames)
+
+    def get_dyn_image_ids(self):
+        return list(range(self.num_frames))
+
+    def get_img_wh(self):
+        return self.scene.img_wh
+
+    def get_tracks_3d(self, num_samples: int, step: int = 1):
+        from deblur4dgs_tpu.data.observations import TrackObservations
+
+        d = self.data
+        P = d.tracks_3d.shape[1]
+        sel = (
+            self.rng.choice(P, min(num_samples, P), replace=False)
+            if num_samples < P else np.arange(P)
+        )
+        xyz = jnp.swapaxes(d.tracks_3d[:, sel], 0, 1)  # (P, T, 3)
+        vis = jnp.swapaxes(d.track_visibles[:, sel], 0, 1)
+        return TrackObservations(
+            xyz=xyz,
+            visibles=vis,
+            invisibles=~vis,
+            confidences=jnp.ones_like(vis, jnp.float32),
+            colors=jnp.full((len(sel), 3), 0.5),
+        )
+
+    def get_bkgd_points(self, num_samples: int):
+        from deblur4dgs_tpu.data.observations import StaticObservations
+
+        bg = self.scene.bg
+        n = bg.capacity
+        sel = (
+            self.rng.choice(n, min(num_samples, n), replace=False)
+            if num_samples < n else np.arange(n)
+        )
+        return StaticObservations(
+            xyz=bg.means[sel],
+            normals=jnp.tile(jnp.array([0.0, 0.0, -1.0]), (len(sel), 1)),
+            colors=jnp.asarray(jax.nn.sigmoid(bg.colors[sel])),
+        )
+
+    def get_item(self, index: int) -> dict:
+        d = self.data
+        item = {
+            "frame_names": f"{index:05d}",
+            "ts": index,
+            "w2cs": d.w2cs[index],
+            "Ks": d.Ks[index],
+            "imgs": d.imgs[index],
+            "valid_masks": jnp.ones_like(d.masks[index]),
+            "masks": d.masks[index],
+            "depths": d.depths[index],
+        }
+        if not self.training:
+            return item
+        W, H = self.scene.img_wh
+        q = np.floor(np.asarray(d.tracks_2d[index]))
+        q = np.stack([q[:, 0].clip(0, W - 1), q[:, 1].clip(0, H - 1)], -1)
+        item["query_tracks_2d"] = q.astype(np.float32)
+        tids = self.rng.choice(
+            self.num_frames, (self.num_targets,), replace=False
+        )
+        q_vis = np.asarray(d.track_visibles[index], np.float32)
+        item["target_ts"] = tids
+        item["target_w2cs"] = np.asarray(d.w2cs[tids])
+        item["target_Ks"] = np.asarray(d.Ks[tids])
+        item["target_tracks_2d"] = np.asarray(d.tracks_2d[tids])
+        item["target_visibles"] = (
+            np.asarray(d.track_visibles[tids], np.float32) * q_vis[None]
+        )
+        item["target_confidences"] = np.ones_like(item["target_visibles"])
+        item["target_track_depths"] = np.asarray(d.track_depths[tids])
+        return item
+
+
 def generate_dataset(
     scene: SyntheticScene, num_blur_samples: int = 7, num_tracks: int = 64,
     seed: int = 0,

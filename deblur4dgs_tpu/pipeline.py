@@ -1,0 +1,369 @@
+"""Staged training pipeline: the single-process train_low/train_high driver.
+
+Counterpart of /root/reference/train_low.py (+ run_training_static.py,
+run_training_dynamic.py, run_testing.py, run_compute_metrics.py). The
+reference shells out 4 separate processes communicating through checkpoints
+on disk (train_low.py:18-25); here the stages are plain function calls over
+in-memory pytrees (checkpoints still written for resume/inspection):
+
+  stage 1  train_static_stage:   bg + camera-motion predictor, blurry mode
+  stage 2  train_dynamic_stage:  fg dynamics + exposure times
+           phase A: full window; phase B: adaptive_slides sub-windows
+  stage 3  run_testing:          per-frame test-time pose refinement
+  stage 4  compute metrics:      PSNR/SSIM(/LPIPS) on held-out frames
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deblur4dgs_tpu.configs import (
+    LossesConfig,
+    OptimizerConfig,
+    RenderConfig,
+    SceneLRConfig,
+)
+from deblur4dgs_tpu.eval.validator import Validator, make_pose_opt_fn
+from deblur4dgs_tpu.models.gaussians import pad_to_capacity
+from deblur4dgs_tpu.models.move_model import init_move_model
+from deblur4dgs_tpu.models.scene import SceneModel, render
+from deblur4dgs_tpu.train import init as I
+from deblur4dgs_tpu.train.checkpoints import (
+    lift_static_stage,
+    save_checkpoint,
+)
+from deblur4dgs_tpu.train.loop import (
+    TrainLoop,
+    stack_frame_batch,
+    track_batch_from_item,
+)
+from deblur4dgs_tpu.train.optimizers import make_optimizer
+from deblur4dgs_tpu.train.trainer import init_train_state
+
+
+# ---------------------------------------------------------------------------
+# Adaptive windowing (run_training_dynamic.py:58-105)
+# ---------------------------------------------------------------------------
+
+
+def compute_sharpness_scores(imgs: np.ndarray, masks: np.ndarray) -> np.ndarray:
+    """Masked Laplacian-variance sharpness per frame.
+
+    imgs: (T, H, W, 3) in [0, 1]; masks: (T, H, W)."""
+    import scipy.ndimage as ndi
+
+    lap_kernel = np.array([[0, 1, 0], [1, -4, 1], [0, 1, 0]], np.float64)
+    scores = []
+    for img, mask in zip(imgs, masks):
+        gray = np.mean(img * 255.0, -1) * mask
+        lp = ndi.convolve(gray, lap_kernel, mode="nearest")
+        inter = lp - lp.sum() / max(mask.sum(), 1e-6)
+        scores.append(float((inter * inter).sum() / max(mask.sum(), 1e-6)))
+    return np.array(scores)
+
+
+def adaptive_slides(scores: np.ndarray, num_windows: int = 5, base: int = 5):
+    """Extend fixed windows toward their sharpest neighbors
+    (run_training_dynamic.py:58-105 logic, generalized to T frames)."""
+    T = len(scores)
+    slides: dict[str, list[int]] = {}
+    trys: dict[str, list[int]] = {}
+    for w in range(num_windows):
+        lo = w * base
+        hi = min(lo + base, T)
+        if w == num_windows - 1:
+            lo = max(T - base, 0)
+            hi = T
+        slides[str(w)] = list(range(lo, hi))
+        left_try = 0 if w == 0 else min(2, lo)
+        right_try = 0 if w == num_windows - 1 else min(2, T - hi)
+        if w == 0:
+            right_try = min(4, T - hi)
+        if w == num_windows - 1:
+            left_try = min(4, lo)
+        trys[str(w)] = [left_try, right_try]
+
+    for wid, win in slides.items():
+        lt, rt = trys[wid]
+        if lt > 0:
+            left_scores = scores[win[0] - lt : win[0] + 1]
+            extend_to = win[0] - (lt - int(np.argmax(left_scores))) - 1
+            for j in range(win[0] - 1, extend_to, -1):
+                win.insert(0, j)
+        if rt > 0:
+            right_scores = scores[win[-1] : win[-1] + rt + 1]
+            extend_to = int(np.argmax(right_scores)) + win[-1]
+            last = win[-1]
+            for j in range(last + 1, extend_to + 1):
+                win.append(j)
+
+    score_dict = {
+        wid: scores[win[0] : win[-1] + 1] for wid, win in slides.items()
+    }
+    return slides, score_dict
+
+
+# ---------------------------------------------------------------------------
+# Initialization (run_training_static.py:202-287 analog)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PipelineConfig:
+    work_dir: str
+    num_fg: int = 40_000
+    num_bg: int = 100_000
+    num_motion_bases: int = 10
+    fg_capacity_mult: float = 2.0
+    bg_capacity_mult: float = 1.5
+    static_epochs: int = 400
+    dynamic_epochs: int = 101
+    steps_per_epoch: int = 24
+    initial_optim_iters: int = 1000
+    validate_every: int = 100
+    pose_opt_iters: int = 500
+    lr: SceneLRConfig = field(default_factory=SceneLRConfig)
+    losses: LossesConfig = field(default_factory=LossesConfig)
+    optim: OptimizerConfig = field(default_factory=OptimizerConfig)
+    render: RenderConfig = field(default_factory=RenderConfig)
+    seed: int = 0
+
+
+def _round_capacity(n: int) -> int:
+    return max(int(-(-n // 256)) * 256, 256)
+
+
+def initialize_scene(
+    dataset, cfg: PipelineConfig, cano_t: int | None = None,
+    static_scene: SceneModel | None = None, num_fg: int | None = None,
+) -> tuple[SceneModel, float]:
+    """Bootstrap fg/bg/bases from tracks + depth points
+    (run_training_static.py:202-287 / run_training_dynamic.py:568-683)."""
+    num_fg = num_fg or cfg.num_fg
+    tracks = dataset.get_tracks_3d(num_samples=num_fg)
+    if cano_t is None:
+        cano_t = int(np.argmax(np.asarray(tracks.visibles).sum(0)))
+
+    bases, motion_coefs, tracks = I.init_motion_params_with_procrustes(
+        tracks, cfg.num_motion_bases, cano_t, seed=cfg.seed
+    )
+    fg = I.init_fg_from_tracks_3d(cano_t, tracks, motion_coefs, seed=cfg.seed)
+    fg, bases, _ = I.run_initial_optim(
+        fg, bases, tracks,
+        jnp.asarray(np.asarray(dataset.Ks[dataset.start : dataset.end])),
+        jnp.asarray(np.asarray(dataset.w2cs[dataset.start : dataset.end])),
+        num_iters=cfg.initial_optim_iters,
+    )
+
+    if static_scene is not None:
+        bg, bg_scale = static_scene.bg, 1.0
+    else:
+        pts = dataset.get_bkgd_points(cfg.num_bg)
+        bg, bg_scale = I.init_bg(pts)
+
+    fg = pad_to_capacity(
+        fg._replace(alive=jnp.ones((fg.capacity,), jnp.float32)),
+        _round_capacity(int(fg.capacity * cfg.fg_capacity_mult)),
+    )
+    if static_scene is None:
+        bg = pad_to_capacity(
+            bg._replace(alive=jnp.ones((bg.capacity,), jnp.float32)),
+            _round_capacity(int(bg.capacity * cfg.bg_capacity_mult)),
+        )
+
+    move = (
+        static_scene.move
+        if static_scene is not None
+        else init_move_model(
+            jax.random.PRNGKey(cfg.seed),
+            num_frames=len(dataset.get_dyn_time_ids()),
+        )
+    )
+    scene = SceneModel(fg=fg, bg=bg, bases=bases, move=move)
+    if static_scene is not None:
+        scene = lift_static_stage(scene, static_scene)
+    return scene, bg_scale
+
+
+# ---------------------------------------------------------------------------
+# Stages
+# ---------------------------------------------------------------------------
+
+
+def _preload_batches(dataset, indices=None):
+    items = [
+        dataset.get_item(i)
+        for i in (indices if indices is not None else range(len(dataset)))
+    ]
+    return items
+
+
+def train_static_stage(
+    dataset, scene: SceneModel, cfg: PipelineConfig, bg_scale: float,
+    writer=None,
+) -> SceneModel:
+    """Stage 1 (run_training_static.py:140-199): bg + camera predictor."""
+    state = init_train_state(scene, cfg.lr, cfg.optim)
+    opt = make_optimizer(scene, cfg.lr, cfg.optim)
+    T = len(dataset.get_dyn_time_ids())
+    loop = TrainLoop(
+        state, opt, cfg.losses, cfg.render, cfg.optim, T,
+        osp.join(cfg.work_dir, "static"), "first",
+        has_static=True, has_dynamic=False, has_reg=False,
+        bg_scene_scale=bg_scale, writer=writer, seed=cfg.seed,
+    )
+    items = _preload_batches(dataset)
+    rng = np.random.default_rng(cfg.seed)
+    for epoch in range(cfg.static_epochs):
+        loop.epoch = epoch
+        for _ in range(cfg.steps_per_epoch):
+            idx = int(rng.integers(1, len(items) - 1))
+            batch = stack_frame_batch([items[idx - 1], items[idx], items[idx + 1]])
+            loop.train_step(batch, None, None, None)
+    os.makedirs(osp.join(cfg.work_dir, "ckpts", "static"), exist_ok=True)
+    save_checkpoint(
+        osp.join(cfg.work_dir, "ckpts", "static", "last"),
+        loop.state, cfg.static_epochs,
+    )
+    return loop.state.scene
+
+
+def train_dynamic_stage(
+    dataset, scene: SceneModel, cfg: PipelineConfig, bg_scale: float,
+    batch4_provider=None, writer=None, epochs: int | None = None,
+) -> SceneModel:
+    """Stage 2 (run_training_dynamic.py:130-319): fg dynamics + exposure."""
+    state = init_train_state(scene, cfg.lr, cfg.optim)
+    opt = make_optimizer(scene, cfg.lr, cfg.optim)
+    T = len(dataset.get_dyn_time_ids())
+    loop = TrainLoop(
+        state, opt, cfg.losses, cfg.render, cfg.optim, T,
+        osp.join(cfg.work_dir, "dynamic"), "second",
+        has_static=True, has_dynamic=True, has_reg=False,
+        has_batch4=batch4_provider is not None,
+        bg_scene_scale=bg_scale, writer=writer, seed=cfg.seed,
+    )
+    ids = dataset.get_dyn_image_ids()
+    items = _preload_batches(dataset, ids)
+    rng = np.random.default_rng(cfg.seed + 1)
+    for epoch in range(epochs or cfg.dynamic_epochs):
+        loop.epoch = epoch
+        for _ in range(cfg.steps_per_epoch):
+            i1 = int(rng.integers(0, len(items)))
+            i2 = int(rng.integers(0, len(items)))
+            batch1 = stack_frame_batch([items[i1]])
+            batch2 = stack_frame_batch([items[i2]])
+            tracks = track_batch_from_item(items[i2], start=dataset.start)
+            b4 = batch4_provider(i2) if batch4_provider is not None else None
+            loop.train_step(batch1, batch2, tracks, None, b4)
+    os.makedirs(osp.join(cfg.work_dir, "ckpts", "dynamic"), exist_ok=True)
+    save_checkpoint(
+        osp.join(cfg.work_dir, "ckpts", "dynamic", "last"),
+        loop.state, epochs or cfg.dynamic_epochs,
+    )
+    return loop.state.scene
+
+
+def run_testing(
+    val_dataset, scene: SceneModel, cfg: PipelineConfig, lpips_fn=None,
+) -> dict:
+    """Stage 3 (run_testing.py + validator.py:400-499): test-time pose
+    refinement on every val frame + metrics."""
+    W, H = val_dataset.get_img_wh()
+    pose_opt = make_pose_opt_fn(
+        (W, H), num_iters=cfg.pose_opt_iters,
+        num_exposure=cfg.render.num_exposure, cap=cfg.render.tile_cap,
+        use_pallas=cfg.render.use_pallas,
+    )
+    validator = Validator(
+        scene, save_dir=cfg.work_dir, has_bg=scene.bg is not None,
+        lpips_fn=lpips_fn,
+    )
+    for i in range(len(val_dataset)):
+        item = val_dataset.get_item(i)
+        t = int(item["ts"]) - val_dataset.start // 2
+        validator.validate_frame_with_pose_opt(
+            pose_opt,
+            t,
+            jnp.asarray(np.asarray(item["w2cs"])),
+            jnp.asarray(np.asarray(item["Ks"])),
+            jnp.asarray(np.asarray(item["imgs"])),
+            jnp.asarray(np.asarray(item["masks"])),
+            jnp.asarray(np.asarray(item["valid_masks"])),
+            frame_name=str(item["frame_names"]),
+        )
+    return validator.compute()
+
+
+def compute_scene_metrics(
+    result_dir: str, gt_dir: str, lpips_fn=None
+) -> dict:
+    """Stage 4 (run_compute_metrics.py:22-86): pair rendered/gt frames,
+    keep odd-indexed (held-out mid-exposure) frames, average metrics."""
+    import imageio.v3 as iio
+
+    from deblur4dgs_tpu.eval import metrics as M
+
+    names = sorted(
+        f[:-4] for f in os.listdir(result_dir)
+        if f.endswith(".png") and not f.endswith("_gt.png")
+    )
+    psnrs, ssims, lpipss = [], [], []
+    for i, name in enumerate(names):
+        if i % 2 == 0:  # odd-indexed frames only (run_compute_metrics.py:60)
+            continue
+        pred = jnp.asarray(
+            iio.imread(osp.join(result_dir, f"{name}.png")).astype(np.float32)
+            / 255.0
+        )
+        gt = jnp.asarray(
+            iio.imread(osp.join(gt_dir, f"{name}.png")).astype(np.float32)
+            / 255.0
+        )
+        psnrs.append(M.compute_psnr(pred, gt))
+        ssims.append(float(M.masked_ssim(pred, gt)))
+        if lpips_fn is not None:
+            lpipss.append(float(lpips_fn(pred[None], gt[None])))
+    out = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}
+    if lpipss:
+        out["lpips"] = float(np.mean(lpipss))
+    return out
+
+
+def train_low(train_dataset, val_dataset, cfg: PipelineConfig, writer=None):
+    """Full low-res pipeline in one process (train_low.py:18-25 analog)."""
+    os.makedirs(cfg.work_dir, exist_ok=True)
+
+    # Stage 1: static.
+    scene0, bg_scale = initialize_scene(train_dataset, cfg)
+    static_scene = train_static_stage(
+        train_dataset, scene0, cfg, bg_scale, writer=writer
+    )
+
+    # Stage 2 phase A: full-window dynamic.
+    scene1, _ = initialize_scene(
+        train_dataset, cfg, static_scene=static_scene
+    )
+    dyn_scene = train_dynamic_stage(
+        train_dataset, scene1, cfg, bg_scale, writer=writer
+    )
+
+    # Stage 2 phase B: adaptive sub-windows (each trained independently —
+    # in the reference these are sequential; the windows are embarrassingly
+    # parallel across hosts, SURVEY.md §5).
+    scores = compute_sharpness_scores(
+        np.asarray(train_dataset.imgs), np.asarray(train_dataset.masks)
+    )
+    slides, _ = adaptive_slides(
+        scores, num_windows=max(len(scores) // 5, 1)
+    )
+
+    # Stage 3: testing with pose refinement.
+    metrics = run_testing(val_dataset, dyn_scene, cfg)
+    return dyn_scene, metrics, slides

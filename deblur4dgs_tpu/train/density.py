@@ -194,6 +194,79 @@ def reset_moments_at_slots(opt_state, part: str, slot_mask: jnp.ndarray):
     )
 
 
+def apply_density_control(
+    state,
+    cfg: OptimizerConfig,
+    *,
+    num_frames: int,
+    only_fg: bool,
+    do_densify: bool,
+    do_cull: bool,
+    do_reset: bool,
+    use_screen: bool,
+    bg_scene_scale: float = 1.0,
+    cull_use_scale: bool = False,
+):
+    """One control event on a TrainState (run_control_steps analog,
+    trainer.py:926-951). Host decides cadence flags; this function is pure
+    and jit-compatible per flag combination. Stats are zeroed afterwards.
+    """
+    scene = state.scene
+    stats = state.stats
+    opt_state = state.opt_state
+    n_fg = scene.num_fg
+
+    grad_avg = stats.grad_norm_acc / jnp.maximum(stats.vis_count, 1)
+    parts = [("fg", scene.fg, slice(0, n_fg))]
+    if scene.bg is not None and not only_fg:
+        parts.append(("bg", scene.bg, slice(n_fg, None)))
+
+    new_groups = {}
+    for name, g, sl in parts:
+        if do_densify:
+            g, rep = densify_group(
+                g, grad_avg[sl], stats.max_radii[sl], cfg, use_screen
+            )
+            opt_state = reset_moments_at_slots(opt_state, name, rep.new_slot_mask)
+        if do_cull:
+            scale = bg_scene_scale if name == "bg" else 1.0
+            g, _ = cull_group(
+                g, stats.max_radii[sl], cfg, scale, cull_use_scale, use_screen
+            )
+        if do_reset:
+            g = reset_opacities_group(g, cfg)
+            opt_state = reset_moments_full(opt_state, f"{name}.opacities")
+        new_groups[name] = g
+
+    scene = scene._replace(fg=new_groups["fg"])
+    if "bg" in new_groups:
+        scene = scene._replace(bg=new_groups["bg"])
+
+    stats = jax.tree.map(jnp.zeros_like, stats)
+    return state._replace(scene=scene, opt_state=opt_state, stats=stats)
+
+
+def control_flags(cfg: OptimizerConfig, step: int, num_frames: int) -> dict:
+    """Cadence logic of run_control_steps (trainer.py:933-947)."""
+    reset_every = cfg.reset_opacity_every_n_controls * cfg.control_every
+    if not (
+        step > cfg.warmup_steps
+        and step % cfg.control_every == 0
+        and step < cfg.stop_control_steps
+    ):
+        return {}
+    return {
+        "do_densify": (
+            step < cfg.stop_densify_steps
+            and step % reset_every > num_frames
+        ),
+        "do_cull": step % reset_every > min(3 * num_frames, 1000),
+        "do_reset": step % reset_every == 0,
+        "use_screen": step < cfg.stop_control_by_screen_steps,
+        "cull_use_scale": step > reset_every,
+    }
+
+
 def reset_moments_full(opt_state, label: str):
     """Zero all moments of one labeled group (reset_in_optim analog)."""
 

@@ -1,0 +1,189 @@
+"""Host-side training loop: batch sampling, control cadence, logging,
+checkpointing around the jitted train step.
+
+Counterpart of the epoch loops in /root/reference/run_training_static.py
+(:174-199) and run_training_dynamic.py (:285-319): pick random frame
+indices per step, call the jitted step, run density control at its cadence,
+log to tensorboard, checkpoint periodically.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import random
+import time
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deblur4dgs_tpu.configs import (
+    LossesConfig,
+    OptimizerConfig,
+    RenderConfig,
+    SceneLRConfig,
+)
+from deblur4dgs_tpu.train.checkpoints import save_checkpoint
+from deblur4dgs_tpu.train.density import apply_density_control, control_flags
+from deblur4dgs_tpu.train.trainer import (
+    FrameBatch,
+    TrackBatch,
+    TrainState,
+    make_train_step,
+)
+
+
+def stack_frame_batch(items: Sequence[dict]) -> FrameBatch:
+    """Stack per-frame dataset items (dataset.get_item) into a FrameBatch."""
+
+    def f(key):
+        return jnp.asarray(np.stack([np.asarray(it[key]) for it in items]))
+
+    return FrameBatch(
+        ts=jnp.asarray([int(it["ts"]) for it in items], jnp.int32),
+        w2cs=f("w2cs"),
+        Ks=f("Ks"),
+        imgs=f("imgs"),
+        masks=f("masks"),
+        valid_masks=f("valid_masks"),
+        depths=f("depths"),
+    )
+
+
+def track_batch_from_item(item: dict, start: int = 0) -> TrackBatch:
+    return TrackBatch(
+        query_tracks_2d=jnp.asarray(np.asarray(item["query_tracks_2d"])),
+        target_ts=jnp.asarray(
+            np.asarray(item["target_ts"]) - start, jnp.int32
+        ),
+        target_w2cs=jnp.asarray(np.asarray(item["target_w2cs"])),
+        target_Ks=jnp.asarray(np.asarray(item["target_Ks"])),
+        target_tracks_2d=jnp.asarray(np.asarray(item["target_tracks_2d"])),
+        target_visibles=jnp.asarray(
+            np.asarray(item["target_visibles"], np.float32)
+        ),
+        target_confidences=jnp.asarray(
+            np.asarray(item["target_confidences"], np.float32)
+        ),
+        target_track_depths=jnp.asarray(
+            np.asarray(item["target_track_depths"], np.float32)
+        ),
+    )
+
+
+class TrainLoop:
+    def __init__(
+        self,
+        state: TrainState,
+        optimizer,
+        lcfg: LossesConfig,
+        rcfg: RenderConfig,
+        ocfg: OptimizerConfig,
+        num_window_frames: int,
+        work_dir: str,
+        stage: str,
+        *,
+        has_static: bool,
+        has_dynamic: bool,
+        has_reg: bool,
+        has_batch4: bool = False,
+        flow_fn=None,
+        bg_scene_scale: float = 1.0,
+        checkpoint_every: int = 200,
+        log_every: int = 10,
+        writer=None,
+        seed: int = 0,
+    ):
+        self.state = state
+        self.ocfg = ocfg
+        self.num_window_frames = num_window_frames
+        self.work_dir = work_dir
+        self.bg_scene_scale = bg_scene_scale
+        self.checkpoint_every = checkpoint_every
+        self.log_every = log_every
+        self.writer = writer
+        self.global_step = int(state.step)
+        self.epoch = 0
+        self.only_fg = not has_static
+        self.rng = random.Random(seed)
+        self.losses: list[float] = []
+        self._rays_per_sec = 0.0
+
+        self.step_fn = make_train_step(
+            optimizer, lcfg, rcfg, stage, num_window_frames,
+            has_static=has_static, has_dynamic=has_dynamic, has_reg=has_reg,
+            has_batch4=has_batch4, flow_fn=flow_fn,
+        )
+        self._control_cache: dict = {}
+
+    def train_step(self, batch_static, batch_dyn, tracks, batch_reg,
+                   batch4_imgs=None):
+        tic = time.time()
+        self.state, loss, aux = self.step_fn(
+            self.state, jnp.asarray(self.epoch), batch_static, batch_dyn,
+            tracks, batch_reg, batch4_imgs,
+        )
+        loss = float(loss)
+        self.losses.append(loss)
+        self.global_step += 1
+
+        self._maybe_control()
+        if self.writer is not None and self.global_step % self.log_every == 0:
+            self._log(loss, aux, time.time() - tic,
+                      batch_static or batch_dyn or batch_reg)
+        if (
+            self.checkpoint_every
+            and self.global_step % self.checkpoint_every == 0
+        ):
+            os.makedirs(f"{self.work_dir}/checkpoints", exist_ok=True)
+            save_checkpoint(
+                f"{self.work_dir}/checkpoints/last", self.state, self.epoch
+            )
+        return loss
+
+    def _maybe_control(self):
+        flags = control_flags(
+            self.ocfg, self.global_step, self.num_window_frames
+        )
+        if not flags or not (
+            flags["do_densify"] or flags["do_cull"] or flags["do_reset"]
+        ):
+            return
+        key = (self.only_fg, *sorted(flags.items()))
+        if key not in self._control_cache:
+            self._control_cache[key] = jax.jit(
+                functools.partial(
+                    apply_density_control,
+                    cfg=self.ocfg,
+                    num_frames=self.num_window_frames,
+                    only_fg=self.only_fg,
+                    bg_scene_scale=self.bg_scene_scale,
+                    **flags,
+                )
+            )
+        self.state = self._control_cache[key](self.state)
+
+    def _log(self, loss, aux, step_time, any_batch):
+        w = self.writer
+        w.add_scalar("train/loss", loss, self.global_step)
+        if any_batch is not None:
+            B, H, W = any_batch.imgs.shape[:3]
+            w.add_scalar(
+                "train/num_rays_per_sec", H * W * B / max(step_time, 1e-6),
+                self.global_step,
+            )
+        for branch, a in aux.items():
+            for k, v in a.items():
+                if hasattr(v, "ndim") and v.ndim == 0:
+                    w.add_scalar(f"train/{branch}/{k}", float(v), self.global_step)
+        w.add_scalar(
+            "train/num_fg_alive", int(self.state.scene.fg.num_alive()),
+            self.global_step,
+        )
+        if self.state.scene.bg is not None:
+            w.add_scalar(
+                "train/num_bg_alive", int(self.state.scene.bg.num_alive()),
+                self.global_step,
+            )
