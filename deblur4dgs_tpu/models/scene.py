@@ -139,6 +139,7 @@ def render(
     use_pallas: bool = True,
     means2d_tap: jnp.ndarray | None = None,  # (S, N, 2) zeros; grads => density stats
     subframe_sharding=None,  # jax Sharding for the S axis => vmap+GSPMD path
+    shared_exposure_binning: bool = True,  # one binning sort per window
 ) -> dict:
     assert not (fg_only and bg_only)
     W, H = img_wh
@@ -197,8 +198,8 @@ def render(
         means2d_tap = jnp.zeros((S, N, 2))
 
     # --- per-sub-frame render body -----------------------------------------
-    def one_subframe(pose, time, tap):
-        """(pose (3,4), time (), tap (N,2)) -> (img (H,W,D), alpha, radii)."""
+    def project_subframe(pose, time, tap):
+        """(pose (3,4), time (), tap (N,2)) -> Projected for this sub-frame."""
         means_w, quats_w = _poses_at_time(
             scene, time, fg_only, bg_only
         ) if t is not None else (
@@ -210,19 +211,24 @@ def render(
         proj = project(
             means_w, quats_w, scales, w2c, K, img_wh, aux_mask=alive
         )
-        proj = proj._replace(means2d=proj.means2d + tap)
+        return proj._replace(means2d=proj.means2d + tap)
+
+    def composite_subframe(proj, shared_binning=None):
         ch = const_chans
         if return_depth:
             ch = jnp.concatenate([ch, proj.depths[:, None]], axis=-1)
         img, alpha, _ = rasterize(
             proj, opacities, ch, background, img_wh, cap=cap,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, shared_binning=shared_binning,
         )
         if return_depth:
             # expected depth (gsplat RGB+ED): normalize by alpha
             dch = img[..., -1:] / jnp.maximum(alpha[..., None], 1e-10)
             img = jnp.concatenate([img[..., :-1], dch], axis=-1)
         return img, alpha, proj.radii
+
+    def one_subframe(pose, time, tap):
+        return composite_subframe(project_subframe(pose, time, tap))
 
     if subframe_sharding is not None:
         # Multi-chip path: vmap over the exposure axis, sharded across the
@@ -245,8 +251,7 @@ def render(
         # Single-chip path: sequential scan, carry-accumulated reductions
         # (bounds memory: only rgb/alpha stacks are materialized per
         # sub-frame, never the wide track-channel renders).
-        def subframe(carry, xs):
-            img, alpha, radii = one_subframe(*xs)
+        def accumulate(carry, img, alpha, radii):
             sum_img, sum_alpha, max_mask, min_depth = carry
             sum_img = sum_img + img
             sum_alpha = sum_alpha + alpha
@@ -258,6 +263,29 @@ def render(
                 img[..., :3], alpha, radii,
             )
 
+        if shared_exposure_binning and S > 1:
+            # One binning sort for the whole exposure window (exact for
+            # compositing thanks to the per-pixel bbox cutoff; see
+            # tiling.bin_gaussians_union). Projections are computed up
+            # front (stacked over S) and re-consumed by the scan.
+            from deblur4dgs_tpu.ops.tiling import bin_gaussians_union
+
+            projs = jax.vmap(project_subframe)(
+                samples.poses, samples.times, means2d_tap
+            )
+            shared = bin_gaussians_union(projs, img_wh, cap)
+
+            def subframe(carry, proj):
+                return accumulate(carry, *composite_subframe(proj, shared))
+
+            xs = projs
+        else:
+
+            def subframe(carry, xs):
+                return accumulate(carry, *one_subframe(*xs))
+
+            xs = (samples.poses, samples.times, means2d_tap)
+
         carry0 = (
             jnp.zeros((H, W, D)),
             jnp.zeros((H, W)),
@@ -266,9 +294,7 @@ def render(
         )
         (sum_img, sum_alpha, max_mask, min_depth), (
             rgb_stack, alpha_stack, radii_stack,
-        ) = jax.lax.scan(
-            subframe, carry0, (samples.poses, samples.times, means2d_tap)
-        )
+        ) = jax.lax.scan(subframe, carry0, xs)
 
     avg = sum_img / S
     acc = sum_alpha / S

@@ -348,14 +348,26 @@ def rasterize(
     img_wh: tuple[int, int],
     cap: int = 512,
     use_pallas: bool = True,
+    shared_binning=None,  # precomputed (gather_idx, counts, raw, order)
 ):
     """Full tile rasterization: bin -> composite -> untile.
 
     Returns (img (H, W, D), alpha (H, W), binning) where img includes the
     background blended by final transmittance and alpha = 1 - T_fin.
+    With ``shared_binning`` (from tiling.bin_gaussians_union) the binning
+    sort is skipped and the provided exposure-shared tile lists are used.
     """
+    from deblur4dgs_tpu.ops.tiling import num_tiles, pack_with_binning
+
     nchan = channels.shape[-1]
-    binning = pack_and_gather(proj, opacities, channels, img_wh, cap=cap)
+    if shared_binning is not None:
+        gather_idx, counts, raw, order = shared_binning
+        binning = pack_with_binning(
+            proj, opacities, channels, gather_idx, counts, raw, order,
+            num_tiles(img_wh),
+        )
+    else:
+        binning = pack_and_gather(proj, opacities, channels, img_wh, cap=cap)
     tiles_x, tiles_y = binning.tiles_xy
     if use_pallas:
         accum, tfin = composite_tiles(

@@ -168,23 +168,42 @@ def bin_gaussians_pairs(
     w_span = tx1 - tx0 + 1
     h_span = ty1 - ty0 + 1
 
+    # Spans larger than MT tiles are shrunk to an MT-bounded window
+    # centered on the gaussian (not truncated row-major, which would drop
+    # whole bottom rows asymmetrically).
+    w_eff = jnp.minimum(w_span, MT)
+    h_eff = jnp.minimum(h_span, jnp.maximum(MT // jnp.maximum(w_eff, 1), 1))
+    txc = jnp.clip((mx / TILE).astype(jnp.int32), 0, tiles_x - 1)
+    tyc = jnp.clip((my / TILE).astype(jnp.int32), 0, tiles_y - 1)
+    tx0e = jnp.clip(txc - w_eff // 2, tx0, tx1 - w_eff + 1)
+    ty0e = jnp.clip(tyc - h_eff // 2, ty0, ty1 - h_eff + 1)
+
     j = jnp.arange(MT, dtype=jnp.int32)[None, :]  # (1, MT)
-    row = j // w_span[:, None]
-    col = j % w_span[:, None]
-    in_span = (j < (w_span * h_span)[:, None]) & valid[:, None]
+    row = j // w_eff[:, None]
+    col = j % w_eff[:, None]
+    in_span = (j < (w_eff * h_eff)[:, None]) & valid[:, None]
     tile_id = jnp.where(
-        in_span, (ty0[:, None] + row) * tiles_x + (tx0[:, None] + col), T
+        in_span, (ty0e[:, None] + row) * tiles_x + (tx0e[:, None] + col), T
     )  # (G, MT); T = sentinel "no tile"
 
     rank = jnp.broadcast_to(
         jnp.arange(G, dtype=jnp.int32)[:, None], (G, MT)
     )
-    # Stable 2-key sort: primary tile_id, secondary rank (depth order).
     tile_flat = tile_id.reshape(-1)
     rank_flat = rank.reshape(-1)
-    tile_sorted, rank_sorted = jax.lax.sort(
-        (tile_flat, rank_flat), num_keys=2
-    )
+    if (T + 1) * (G + 1) < 2**31:
+        # Fused single int32 key (tile major, depth-rank minor): one
+        # payload-free sort, ~2x faster than the 2-key lexicographic sort
+        # (the sort dominates binning time at scale).
+        key = tile_flat * (G + 1) + rank_flat
+        key_sorted = jax.lax.sort(key)
+        tile_sorted = key_sorted // (G + 1)
+        rank_sorted = key_sorted - tile_sorted * (G + 1)
+    else:
+        # Stable 2-key sort: primary tile_id, secondary rank (depth order).
+        tile_sorted, rank_sorted = jax.lax.sort(
+            (tile_flat, rank_flat), num_keys=2
+        )
 
     # Segment starts per tile; position of each pair within its tile.
     starts = jnp.searchsorted(tile_sorted, jnp.arange(T + 1, dtype=jnp.int32))
@@ -203,6 +222,136 @@ def bin_gaussians_pairs(
     raw = (starts[1:] - starts[:-1])[:T].astype(jnp.int32)
     counts = jnp.minimum(raw, cap)
     return gather_idx, counts, raw, order
+
+
+@functools.partial(
+    jax.jit, static_argnames=("img_wh", "cap", "max_tiles_per_gauss")
+)
+def bin_gaussians_union(
+    projs: Projected,  # arrays with a leading sub-frame axis (S, G, ...)
+    img_wh: tuple[int, int],
+    cap: int = 512,
+    max_tiles_per_gauss: int = 32,
+):
+    """Shared binning for an exposure window: one sort for all S sub-frames.
+
+    Uses the union of each gaussian's per-sub-frame bounding boxes, so the
+    produced tile lists are a superset of every sub-frame's exact lists —
+    and because compositing applies the per-pixel 3-sigma bounding-box
+    cutoff (ops/rasterize.py), rendering with a superset list is exact.
+    The shared depth order is each gaussian's front-most depth across the
+    window (sub-frame depth orders can differ slightly within an exposure;
+    see PARITY.md). Amortizes the dominant binning sort over K sub-frames.
+
+    Returns (gather_idx (T, CAP) into sorted order, counts, raw, order).
+    """
+    S, G = projs.depths.shape
+    MT = max_tiles_per_gauss
+    tiles_x, tiles_y = num_tiles(img_wh)
+    T = tiles_x * tiles_y
+
+    valid_any = projs.valid.any(axis=0)
+    inf = jnp.inf
+    mx0 = jnp.min(jnp.where(projs.valid, projs.means2d[..., 0] - projs.radii, inf), 0)
+    mx1 = jnp.max(jnp.where(projs.valid, projs.means2d[..., 0] + projs.radii, -inf), 0)
+    my0 = jnp.min(jnp.where(projs.valid, projs.means2d[..., 1] - projs.radii, inf), 0)
+    my1 = jnp.max(jnp.where(projs.valid, projs.means2d[..., 1] + projs.radii, -inf), 0)
+    depth_key = jnp.min(jnp.where(projs.valid, projs.depths, inf), 0)
+
+    key = jnp.where(valid_any, depth_key, jnp.inf)
+    order = jnp.argsort(key, stable=True)
+    x0 = mx0[order]
+    x1 = mx1[order]
+    y0 = my0[order]
+    y1 = my1[order]
+    valid = valid_any[order]
+
+    tx0 = jnp.clip(jnp.floor(x0 / TILE), 0, tiles_x - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor(x1 / TILE), 0, tiles_x - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor(y0 / TILE), 0, tiles_y - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor(y1 / TILE), 0, tiles_y - 1).astype(jnp.int32)
+    cx = 0.5 * (x0 + x1)
+    cy = 0.5 * (y0 + y1)
+    return _pairs_to_lists(
+        tx0, tx1, ty0, ty1, cx, cy, valid, G, T, tiles_x, tiles_y, MT, cap
+    ) + (order,)
+
+
+def _pairs_to_lists(tx0, tx1, ty0, ty1, cx, cy, valid, G, T, tiles_x,
+                    tiles_y, MT, cap):
+    """Shared tail of pair-expansion binning: emit pairs, sort, scatter."""
+    w_span = tx1 - tx0 + 1
+    h_span = ty1 - ty0 + 1
+    w_eff = jnp.minimum(w_span, MT)
+    h_eff = jnp.minimum(h_span, jnp.maximum(MT // jnp.maximum(w_eff, 1), 1))
+    txc = jnp.clip((cx / TILE).astype(jnp.int32), 0, tiles_x - 1)
+    tyc = jnp.clip((cy / TILE).astype(jnp.int32), 0, tiles_y - 1)
+    tx0e = jnp.clip(txc - w_eff // 2, tx0, tx1 - w_eff + 1)
+    ty0e = jnp.clip(tyc - h_eff // 2, ty0, ty1 - h_eff + 1)
+
+    j = jnp.arange(MT, dtype=jnp.int32)[None, :]
+    row = j // w_eff[:, None]
+    col = j % w_eff[:, None]
+    in_span = (j < (w_eff * h_eff)[:, None]) & valid[:, None]
+    tile_id = jnp.where(
+        in_span, (ty0e[:, None] + row) * tiles_x + (tx0e[:, None] + col), T
+    )
+
+    rank = jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32)[:, None], (G, MT))
+    tile_flat = tile_id.reshape(-1)
+    rank_flat = rank.reshape(-1)
+    if (T + 1) * (G + 1) < 2**31:
+        key = tile_flat * (G + 1) + rank_flat
+        key_sorted = jax.lax.sort(key)
+        tile_sorted = key_sorted // (G + 1)
+        rank_sorted = key_sorted - tile_sorted * (G + 1)
+    else:
+        tile_sorted, rank_sorted = jax.lax.sort(
+            (tile_flat, rank_flat), num_keys=2
+        )
+
+    starts = jnp.searchsorted(tile_sorted, jnp.arange(T + 1, dtype=jnp.int32))
+    E = tile_flat.shape[0]
+    pos = jnp.arange(E, dtype=jnp.int32) - starts[jnp.clip(tile_sorted, 0, T)]
+    ok = (tile_sorted < T) & (pos < cap)
+    scatter_tile = jnp.where(ok, tile_sorted, T)
+    scatter_pos = jnp.where(ok, pos, 0)
+    gather_idx = jnp.full((T + 1, cap), G, jnp.int32)
+    gather_idx = gather_idx.at[scatter_tile, scatter_pos].set(
+        rank_sorted, mode="drop"
+    )[:T]
+    raw = (starts[1:] - starts[:-1])[:T].astype(jnp.int32)
+    counts = jnp.minimum(raw, cap)
+    return gather_idx, counts, raw
+
+
+def pack_with_binning(
+    proj: Projected,
+    opacities: jnp.ndarray,
+    channels: jnp.ndarray,
+    gather_idx: jnp.ndarray,  # (T, CAP) into `order`-sorted arrays
+    counts: jnp.ndarray,
+    raw_counts: jnp.ndarray,
+    order: jnp.ndarray,
+    tiles_xy: tuple[int, int],
+) -> TileBinning:
+    """Gather one sub-frame's packed params through precomputed (shared)
+    tile lists."""
+    packed = jnp.concatenate(
+        [
+            proj.means2d,
+            proj.conics,
+            opacities[:, None],
+            proj.radii[:, None],
+            channels,
+        ],
+        axis=-1,
+    )[order]
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((1, packed.shape[-1]), packed.dtype)], axis=0
+    )
+    tile_data = jnp.swapaxes(packed[gather_idx], -1, -2)
+    return TileBinning(tile_data, counts, gather_idx, order, raw_counts, tiles_xy)
 
 
 def pack_and_gather(

@@ -336,34 +336,86 @@ def compute_scene_metrics(
     return out
 
 
-def train_low(train_dataset, val_dataset, cfg: PipelineConfig, writer=None):
-    """Full low-res pipeline in one process (train_low.py:18-25 analog)."""
+def render_sharp_frames(scene: SceneModel, dataset, cfg: PipelineConfig,
+                        bg_only=False, downsample=1):
+    """Mid-exposure renders of every frame (used as phase-A multires
+    guidance / stage-1 static-reg targets, run_training_dynamic.py:211-284
+    — the reference round-trips these through PNGs on disk)."""
+    from deblur4dgs_tpu.train.trainer import downsample_area
+
+    W, H = dataset.get_img_wh()
+    outs = []
+    for i in range(len(dataset)):
+        out = render(
+            scene, i, jnp.asarray(np.asarray(dataset.w2cs[i])),
+            jnp.asarray(np.asarray(dataset.Ks[i])), (W, H), mode="mid",
+            stage="second", bg_only=bg_only,
+            num_exposure=cfg.render.num_exposure, cap=cfg.render.tile_cap,
+            use_pallas=cfg.render.use_pallas,
+        )
+        img = out["img"]
+        if downsample > 1:
+            img = downsample_area(img, downsample)
+        outs.append(np.asarray(img))
+    return np.stack(outs)
+
+
+def train_low(train_dataset, val_dataset, cfg: PipelineConfig, writer=None,
+              num_phaseB_windows: int | None = None):
+    """Full pipeline in one process (train_low.py:18-25 analog).
+
+    Stage 2 mirrors the reference's two-scale schedule: phase A at 4x
+    downsampling over the full clip, then phase B per adaptive window at
+    full resolution with phase-A sharp renders as multires guidance
+    (run_training_dynamic.py:135-564).
+    """
+    from deblur4dgs_tpu.data.views import DownsampleView, WindowView
+
     os.makedirs(cfg.work_dir, exist_ok=True)
 
-    # Stage 1: static.
+    # Stage 1: static (bg + camera-motion predictor).
     scene0, bg_scale = initialize_scene(train_dataset, cfg)
     static_scene = train_static_stage(
         train_dataset, scene0, cfg, bg_scale, writer=writer
     )
 
-    # Stage 2 phase A: full-window dynamic.
-    scene1, _ = initialize_scene(
-        train_dataset, cfg, static_scene=static_scene
-    )
-    dyn_scene = train_dynamic_stage(
-        train_dataset, scene1, cfg, bg_scale, writer=writer
-    )
+    # Stage 2 phase A: 4x-downsampled, full clip.
+    ds_x4 = DownsampleView(train_dataset, 4)
+    sceneA, _ = initialize_scene(ds_x4, cfg, static_scene=static_scene)
+    sceneA = train_dynamic_stage(ds_x4, sceneA, cfg, bg_scale, writer=writer)
 
-    # Stage 2 phase B: adaptive sub-windows (each trained independently —
-    # in the reference these are sequential; the windows are embarrassingly
-    # parallel across hosts, SURVEY.md §5).
+    # Phase-A sharp outputs at 1/4 res as multires guidance for phase B.
+    guide_imgs = render_sharp_frames(sceneA, ds_x4, cfg)
+
+    # Stage 2 phase B: adaptive sub-windows at full resolution. Windows are
+    # independent training jobs (the reference runs them sequentially; they
+    # are the temporal-parallel axis of SURVEY.md §5).
     scores = compute_sharpness_scores(
         np.asarray(train_dataset.imgs), np.asarray(train_dataset.masks)
     )
-    slides, _ = adaptive_slides(
-        scores, num_windows=max(len(scores) // 5, 1)
-    )
+    n_win = num_phaseB_windows
+    if n_win is None:
+        n_win = max(len(scores) // 5, 1)
+    slides, score_dict = adaptive_slides(scores, num_windows=n_win)
 
-    # Stage 3: testing with pose refinement.
-    metrics = run_testing(val_dataset, dyn_scene, cfg)
-    return dyn_scene, metrics, slides
+    window_scenes = {}
+    for wid, window in slides.items():
+        wds = WindowView(train_dataset, window, seed=cfg.seed)
+        cano_t = int(np.argmax(score_dict[wid]))
+        sceneW, _ = initialize_scene(
+            wds, cfg, cano_t=cano_t, static_scene=static_scene
+        )
+
+        def batch4_provider(i, _w=window):
+            g = jnp.asarray(guide_imgs[_w[i]])[None]
+            return g
+
+        sceneW = train_dynamic_stage(
+            wds, sceneW, cfg, bg_scale, batch4_provider=batch4_provider,
+            writer=writer,
+        )
+        window_scenes[wid] = (sceneW, window)
+
+    # Stage 3: per-window testing with pose refinement (run_testing.py).
+    metrics = run_testing(val_dataset, sceneA, cfg)
+    return sceneA, window_scenes, metrics, slides

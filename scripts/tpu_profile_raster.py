@@ -62,7 +62,7 @@ def main():
     tb = timeit("bin+pack+gather", gather_fn, proj, opac, chans)
     print(f"  avg count/tile: {float(tb.counts.mean()):.0f}  max: {int(tb.counts.max())}  overflow tiles: {int((tb.raw_counts > CAP).sum())}")
 
-    tiles_x = tb.tiles_xy[0]
+    tiles_x = int(tb.tiles_xy[0])
     comp_fn = jax.jit(
         lambda td, c: composite_tiles(td, c, tiles_x, 3)
     )
