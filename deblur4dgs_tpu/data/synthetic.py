@@ -205,6 +205,7 @@ class SyntheticSceneAdapter:
         self.w2cs = np.asarray(data.w2cs)
         self.imgs = np.asarray(data.imgs)
         self.masks = np.asarray(data.masks)
+        self.depths = np.asarray(data.depths)
 
     def __len__(self):
         return self.imgs.shape[0]

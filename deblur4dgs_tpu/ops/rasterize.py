@@ -30,7 +30,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from deblur4dgs_tpu.ops.projection import Projected
-from deblur4dgs_tpu.ops.tiling import TILE, TileBinning, pack_and_gather
+from deblur4dgs_tpu.ops.tiling import (
+    TILE,
+    TILE_BLOCK,
+    TileBinning,
+    pack_and_gather,
+)
 
 ALPHA_CLAMP = 0.999
 ALPHA_CUTOFF = 1.0 / 255.0
@@ -86,35 +91,39 @@ def _alpha_from_packed(d, px, py):
 
 
 def _fwd_kernel(counts_ref, data_ref, accum_ref, tfin_ref, *, tiles_x, cap, nchan):
-    t = pl.program_id(0)
-    count = counts_ref[t]
-    nchunks = pl.cdiv(count, CHUNK)
+    tb = pl.program_id(0)
+    for bt in range(TILE_BLOCK):
+        t = tb * TILE_BLOCK + bt
+        count = counts_ref[t]
+        nchunks = pl.cdiv(count, CHUNK)
 
-    tx = (t % tiles_x).astype(jnp.float32)
-    ty = (t // tiles_x).astype(jnp.float32)
-    pid = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-    px = tx * TILE + (pid % TILE).astype(jnp.float32) + 0.5
-    py = ty * TILE + (pid // TILE).astype(jnp.float32) + 0.5
+        tx = (t % tiles_x).astype(jnp.float32)
+        ty = (t // tiles_x).astype(jnp.float32)
+        pid = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+        px = tx * TILE + (pid % TILE).astype(jnp.float32) + 0.5
+        py = ty * TILE + (pid // TILE).astype(jnp.float32) + 0.5
 
-    accum_ref[0] = jnp.zeros((P, nchan), jnp.float32)
+        accum_ref[bt] = jnp.zeros((P, nchan), jnp.float32)
 
-    def body(ci, logT):
-        off = pl.multiple_of(ci * CHUNK, CHUNK)
-        d = data_ref[0, :, pl.ds(off, CHUNK)]
-        alpha, _, _, _ = _alpha_from_packed(d, px, py)
-        l1m = jnp.log1p(-alpha)
-        cum = _lane_cumsum(l1m)
-        T = jnp.exp(logT + cum - l1m)  # transmittance before each gaussian
-        w = alpha * T
-        chans = d[7 : 7 + nchan, :]  # (D, CHUNK)
-        accum_ref[0] += jax.lax.dot_general(
-            w, chans, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        def body(ci, logT, bt=bt, px=px, py=py):
+            off = pl.multiple_of(ci * CHUNK, CHUNK)
+            d = data_ref[bt, :, pl.ds(off, CHUNK)]
+            alpha, _, _, _ = _alpha_from_packed(d, px, py)
+            l1m = jnp.log1p(-alpha)
+            cum = _lane_cumsum(l1m)
+            T = jnp.exp(logT + cum - l1m)  # transmittance before gaussian i
+            w = alpha * T
+            chans = d[7 : 7 + nchan, :]  # (D, CHUNK)
+            accum_ref[bt] += jax.lax.dot_general(
+                w, chans, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return logT + cum[:, -1:]
+
+        logT = jax.lax.fori_loop(
+            0, nchunks, body, jnp.zeros((P, 1), jnp.float32)
         )
-        return logT + cum[:, -1:]
-
-    logT = jax.lax.fori_loop(0, nchunks, body, jnp.zeros((P, 1), jnp.float32))
-    tfin_ref[0] = jnp.exp(logT)  # (P, 1)
+        tfin_ref[bt] = jnp.exp(logT)  # (P, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -126,7 +135,18 @@ def _bwd_kernel(
     counts_ref, data_ref, accum_ref, tfin_ref, gacc_ref, gt_ref, gdata_ref,
     *, tiles_x, cap, nchan,
 ):
-    t = pl.program_id(0)
+    tb = pl.program_id(0)
+    for bt in range(TILE_BLOCK):
+        _bwd_one_tile(
+            counts_ref, data_ref, accum_ref, tfin_ref, gacc_ref, gt_ref,
+            gdata_ref, tb * TILE_BLOCK + bt, bt, tiles_x, cap, nchan,
+        )
+
+
+def _bwd_one_tile(
+    counts_ref, data_ref, accum_ref, tfin_ref, gacc_ref, gt_ref, gdata_ref,
+    t, bt, tiles_x, cap, nchan,
+):
     count = counts_ref[t]
     nchunks = pl.cdiv(count, CHUNK)
 
@@ -136,17 +156,17 @@ def _bwd_kernel(
     px = tx * TILE + (pid % TILE).astype(jnp.float32) + 0.5
     py = ty * TILE + (pid // TILE).astype(jnp.float32) + 0.5
 
-    gdata_ref[0] = jnp.zeros_like(gdata_ref[0])
+    gdata_ref[bt] = jnp.zeros_like(gdata_ref[bt])
 
-    gacc = gacc_ref[0]  # (P, D)
-    accum = accum_ref[0]  # (P, D)
+    gacc = gacc_ref[bt]  # (P, D)
+    accum = accum_ref[bt]  # (P, D)
     total = jnp.sum(accum * gacc, axis=1, keepdims=True)  # (P, 1)
-    gt_term = gt_ref[0] * tfin_ref[0]  # (P, 1)
+    gt_term = gt_ref[bt] * tfin_ref[bt]  # (P, 1)
 
     def body(ci, carry):
         logT, prefix = carry
         off = pl.multiple_of(ci * CHUNK, CHUNK)
-        d = data_ref[0, :, pl.ds(off, CHUNK)]
+        d = data_ref[bt, :, pl.ds(off, CHUNK)]
         alpha, dx, dy, active = _alpha_from_packed(d, px, py)
         l1m = jnp.log1p(-alpha)
         cum = _lane_cumsum(l1m)
@@ -186,7 +206,7 @@ def _bwd_kernel(
         grad_rows = jnp.concatenate(
             [g_mx, g_my, g_ca, g_cb, g_cc, g_op, g_r, g_ch], axis=0
         )  # (F, CHUNK)
-        gdata_ref[0, :, pl.ds(off, CHUNK)] = grad_rows
+        gdata_ref[bt, :, pl.ds(off, CHUNK)] = grad_rows
         return logT + cum[:, -1:], prefix_incl[:, -1:]
 
     jax.lax.fori_loop(
@@ -212,17 +232,19 @@ def _composite_fwd_pallas(tile_data, counts, tiles_x, nchan):
     kernel = functools.partial(
         _fwd_kernel, tiles_x=tiles_x, cap=cap, nchan=nchan
     )
+    TB = TILE_BLOCK
+    assert T % TB == 0, "tile rows must be padded to TILE_BLOCK"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T,),
+        grid=(T // TB,),
         in_specs=[
-            pl.BlockSpec((1, F, cap), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, F, cap), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, P, nchan), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, P, nchan), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 1), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, P, 1), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -243,22 +265,24 @@ def _composite_bwd_pallas(tile_data, counts, accum, tfin, gacc, gt, tiles_x, nch
     kernel = functools.partial(
         _bwd_kernel, tiles_x=tiles_x, cap=cap, nchan=nchan
     )
+    TB = TILE_BLOCK
+    assert T % TB == 0, "tile rows must be padded to TILE_BLOCK"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T,),
+        grid=(T // TB,),
         in_specs=[
-            pl.BlockSpec((1, F, cap), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, F, cap), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, nchan), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, P, nchan), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 1), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, P, 1), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, nchan), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, P, nchan), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 1), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, P, 1), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, F, cap), lambda t, c: (t, 0, 0),
+        out_specs=pl.BlockSpec((TB, F, cap), lambda t, c: (t, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -377,6 +401,7 @@ def rasterize(
         accum, tfin = _composite_xla(
             binning.tile_data, binning.counts, tiles_x, nchan
         )
-    img, tf = untile(accum, tfin, img_wh, binning.tiles_xy, nchan)
+    T = tiles_x * tiles_y  # drop TILE_BLOCK padding rows
+    img, tf = untile(accum[:T], tfin[:T], img_wh, binning.tiles_xy, nchan)
     img = img + tf[..., None] * background[None, None, :]
     return img, 1.0 - tf, binning

@@ -29,6 +29,13 @@ import jax.numpy as jnp
 from deblur4dgs_tpu.ops.projection import Projected
 
 TILE = 16  # pixels per tile side; P = TILE*TILE = 256 pixels per tile
+# Tiles processed per Pallas program (amortizes per-program latency over
+# more compute; tile rows are padded to a multiple of this).
+TILE_BLOCK = 8
+
+
+def pad_tiles(n: int) -> int:
+    return -(-n // TILE_BLOCK) * TILE_BLOCK
 
 # Packed feature layout along F (sublane) axis of tile_data:
 #   0: mean2d.x   1: mean2d.y   2: conic.a   3: conic.b   4: conic.c
@@ -325,11 +332,26 @@ def _pairs_to_lists(tx0, tx1, ty0, ty1, cx, cy, valid, G, T, tiles_x,
     return gather_idx, counts, raw
 
 
+def _pad_lists(gather_idx, counts, raw, G):
+    """Pad tile rows to a TILE_BLOCK multiple (sentinel entries)."""
+    T = gather_idx.shape[0]
+    Tp = pad_tiles(T)
+    if Tp == T:
+        return gather_idx, counts, raw
+    return (
+        jnp.concatenate(
+            [gather_idx, jnp.full((Tp - T, gather_idx.shape[1]), G, jnp.int32)]
+        ),
+        jnp.concatenate([counts, jnp.zeros((Tp - T,), jnp.int32)]),
+        jnp.concatenate([raw, jnp.zeros((Tp - T,), jnp.int32)]),
+    )
+
+
 def pack_with_binning(
     proj: Projected,
     opacities: jnp.ndarray,
     channels: jnp.ndarray,
-    gather_idx: jnp.ndarray,  # (T, CAP) into `order`-sorted arrays
+    gather_idx: jnp.ndarray,  # (T or Tp, CAP) into `order`-sorted arrays
     counts: jnp.ndarray,
     raw_counts: jnp.ndarray,
     order: jnp.ndarray,
@@ -337,6 +359,10 @@ def pack_with_binning(
 ) -> TileBinning:
     """Gather one sub-frame's packed params through precomputed (shared)
     tile lists."""
+    G = proj.depths.shape[0]
+    gather_idx, counts, raw_counts = _pad_lists(
+        gather_idx, counts, raw_counts, G
+    )
     packed = jnp.concatenate(
         [
             proj.means2d,
@@ -371,21 +397,7 @@ def pack_and_gather(
     gather_idx, counts, raw_counts, order = bin_gaussians_pairs(
         proj, img_wh, cap
     )
-    packed = jnp.concatenate(
-        [
-            proj.means2d,
-            proj.conics,
-            opacities[:, None],
-            proj.radii[:, None],
-            channels,
-        ],
-        axis=-1,
-    )[order]
-    packed = jnp.concatenate(
-        [packed, jnp.zeros((1, packed.shape[-1]), packed.dtype)], axis=0
-    )
-    tile_data = packed[gather_idx]  # (T, CAP, F)
-    tile_data = jnp.swapaxes(tile_data, -1, -2)  # (T, F, CAP): CAP on lanes
-    return TileBinning(
-        tile_data, counts, gather_idx, order, raw_counts, num_tiles(img_wh)
+    return pack_with_binning(
+        proj, opacities, channels, gather_idx, counts, raw_counts, order,
+        num_tiles(img_wh),
     )

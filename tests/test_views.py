@@ -1,0 +1,67 @@
+"""Dataset view tests (resolution pyramid + temporal windows)."""
+
+import numpy as np
+import pytest
+
+from deblur4dgs_tpu.data import synthetic
+from deblur4dgs_tpu.data.views import DownsampleView, WindowView
+
+
+@pytest.fixture(scope="module")
+def adapter():
+    scene = synthetic.make_scene(
+        seed=0, num_fg=40, num_bg=80, num_frames=8, img_wh=(64, 48)
+    )
+    data = synthetic.generate_dataset(scene, num_blur_samples=3, num_tracks=20)
+    return synthetic.SyntheticSceneAdapter(scene, data)
+
+
+class TestDownsampleView:
+    def test_shapes_and_intrinsics(self, adapter):
+        v = DownsampleView(adapter, 4)
+        assert v.get_img_wh() == (16, 12)
+        assert v.imgs.shape == (8, 12, 16, 3)
+        np.testing.assert_allclose(v.Ks[:, :2] * 4, adapter.Ks[:, :2])
+        np.testing.assert_allclose(v.Ks[:, 2], adapter.Ks[:, 2])
+
+    def test_area_downsampling_preserves_mean(self, adapter):
+        v = DownsampleView(adapter, 4)
+        np.testing.assert_allclose(
+            v.imgs.mean(), np.asarray(adapter.imgs).mean(), atol=1e-5
+        )
+
+    def test_item_scaled_tracks(self, adapter):
+        v = DownsampleView(adapter, 4)
+        item = v.get_item(2)
+        W, H = v.get_img_wh()
+        q = np.asarray(item["query_tracks_2d"])
+        assert q[:, 0].max() <= W - 1 and q[:, 1].max() <= H - 1
+        np.testing.assert_allclose(
+            np.asarray(item["target_Ks"])[:, :2] * 4,
+            np.asarray(adapter.get_item(2)["target_Ks"])[:, :2],
+            rtol=1e-5,
+        )
+
+
+class TestWindowView:
+    def test_reindexing(self, adapter):
+        w = WindowView(adapter, [3, 4, 5, 6])
+        assert len(w) == 4
+        assert w.get_dyn_image_ids() == [0, 1, 2, 3]
+        item = w.get_item(1)
+        assert item["ts"] == 1
+        np.testing.assert_allclose(item["imgs"], adapter.get_item(4)["imgs"])
+
+    def test_targets_within_window(self, adapter):
+        w = WindowView(adapter, [2, 3, 4, 5])
+        for i in range(4):
+            item = w.get_item(i)
+            assert np.all(np.asarray(item["target_ts"]) < 4)
+            assert item["target_w2cs"].shape[0] == len(item["target_ts"])
+
+    def test_window_tracks(self, adapter):
+        w = WindowView(adapter, [1, 2, 3])
+        tr = w.get_tracks_3d(num_samples=15)
+        assert tr.xyz.shape[1] == 3
+        full = adapter.get_tracks_3d(num_samples=15)
+        assert full.xyz.shape[1] == 8
