@@ -139,17 +139,21 @@ def main():
 
     t0 = time.time()
     state, loss, _ = step(state, epoch, None, batch, tracks, None, None)
-    jax.block_until_ready(loss)
+    jax.block_until_ready(state)
     compile_s = time.time() - t0
 
-    n = 5
-    t0 = time.time()
-    for _ in range(n):
+    times = []
+    losses = []
+    for _ in range(5):
+        t0 = time.time()
         state, loss, _ = step(state, epoch, None, batch, tracks, None, None)
-        # block on the FULL state: blocking only on `loss` under-reports
-        # (async dispatch returns loss before the optimizer update lands)
+        # Synchronize via a scalar readback: on the axon backend
+        # block_until_ready can return before device work completes, so a
+        # host transfer is the only reliable fence.
+        losses.append(float(loss))
         jax.block_until_ready(state)
-    dt = (time.time() - t0) / n
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
 
     # sanity: the scene must still render non-trivially after the steps
     means = state.scene.fg.means

@@ -159,6 +159,65 @@ class Validator:
         self._save("rgb_test_optim", f"{frame_name}_gt", gt_img)
         return img, w2c_t, losses
 
+    def validate_keypoints(
+        self, t, w2c, K, target_t, target_w2c, target_K, keypoints_2d,
+        target_keypoints_2d, img_wh, pck_threshold_ratio=0.05,
+        num_exposure=11, cap=512, use_pallas=True,
+    ):
+        """PCK via rendered tracks_3d channels (validator.py:126-215):
+        render time t with target_ts=[target_t], read the camera-space
+        track positions at the query keypoints, project by target_K, and
+        score against the target keypoints."""
+        from deblur4dgs_tpu.eval.metrics import compute_pck
+
+        W, H = img_wh
+        out = render(
+            self.scene, t, w2c, K, img_wh, mode="mid", stage="second",
+            target_ts=jnp.asarray([target_t], jnp.float32),
+            target_w2cs=target_w2c[None],
+            num_exposure=num_exposure, cap=cap, use_pallas=use_pallas,
+        )
+        q = jnp.asarray(keypoints_2d).astype(jnp.int32)
+        tracks = out["tracks_3d"][q[:, 1], q[:, 0], 0]  # (P, 3) cam space
+        uvz = (target_K @ tracks.T).T
+        pred_2d = uvz[:, :2] / jnp.maximum(uvz[:, 2:], 1e-6)
+        thr = pck_threshold_ratio * max(W, H)
+        return compute_pck(pred_2d, jnp.asarray(target_keypoints_2d), thr)
+
+    def save_train_videos(
+        self, dataset, epoch: int, fps: float = 10.0, num_exposure=11,
+        cap=512, use_pallas=True,
+    ):
+        """rgb/depth/mask training-view videos (validator.py:216-398)."""
+        if self.save_dir is None:
+            return
+        from deblur4dgs_tpu.vis.utils import apply_depth_colormap, save_video
+
+        W, H = dataset.get_img_wh()
+        rgbs, depths, masks = [], [], []
+        for i in range(len(dataset)):
+            out = render(
+                self.scene, i,
+                jnp.asarray(np.asarray(dataset.w2cs[i])),
+                jnp.asarray(np.asarray(dataset.Ks[i])), (W, H), mode="mid",
+                stage="second", return_depth=True, return_mask=True,
+                num_exposure=num_exposure, cap=cap, use_pallas=use_pallas,
+            )
+            rgbs.append(np.asarray(out["img"]))
+            depths.append(
+                apply_depth_colormap(
+                    np.asarray(out["depth"][..., 0]),
+                    np.asarray(out["acc"][..., 0]),
+                )
+            )
+            masks.append(np.repeat(np.asarray(out["mask"]), 3, axis=-1))
+        d = osp.join(self.save_dir, "results", "videos")
+        os.makedirs(d, exist_ok=True)
+        for name, frames in (("rgb", rgbs), ("depth", depths), ("mask", masks)):
+            save_video(
+                osp.join(d, f"{name}_{epoch}.mp4"), np.stack(frames), fps=fps
+            )
+
     def compute(self) -> dict:
         out = {
             "val/psnr": self.psnr.compute(),

@@ -134,10 +134,12 @@ def kmeans(x: np.ndarray, k: int, iters: int = 50, seed: int = 0) -> np.ndarray:
 
 
 def sample_initial_bases_centers(
-    cano_t: int, tracks_3d: TrackObservations, num_bases: int, seed: int = 0
+    cano_t: int, tracks_3d: TrackObservations, num_bases: int, seed: int = 0,
+    mode: str = "kmeans",
 ):
     """init_utils.py:534-592: cluster velocity directions, centers =
-    per-cluster median canonical positions."""
+    per-cluster median canonical positions. mode: 'kmeans' | 'hdbscan'
+    (the reference's cuml backends -> numpy/sklearn)."""
     xyz = np.asarray(tracks_3d.xyz)
     visibles = np.asarray(tracks_3d.visibles)
     xyz_interp = interp_masked(xyz, visibles)
@@ -145,7 +147,18 @@ def sample_initial_bases_centers(
     vel_dirs = (vel / (np.linalg.norm(vel, axis=-1, keepdims=True) + 1e-5)).reshape(
         xyz.shape[0], -1
     )
-    labels = kmeans(vel_dirs, num_bases, seed=seed)
+    if mode == "hdbscan":
+        from sklearn.cluster import HDBSCAN
+
+        model = HDBSCAN(
+            min_cluster_size=20,
+            max_cluster_size=max(xyz.shape[0] // 4, 21),
+        )
+        labels = model.fit(vel_dirs).labels_
+        labels = np.where(labels < 0, 0, labels)  # noise -> cluster 0
+        num_bases = int(labels.max()) + 1
+    else:
+        labels = kmeans(vel_dirs, num_bases, seed=seed)
     centers = np.stack(
         [np.median(xyz[labels == i, cano_t], axis=0) for i in range(num_bases)]
     )

@@ -60,11 +60,18 @@ def make_video_divisible(video: np.ndarray, block: int = 16) -> np.ndarray:
     return video[:, : H - H % block or H, : W - W % block or W]
 
 
-def save_video(path: str, frames: np.ndarray, fps: float = 10.0):
-    """frames: (T, H, W, 3) float [0,1] or uint8."""
+def save_video(path: str, frames: np.ndarray, fps: float = 10.0) -> str:
+    """frames: (T, H, W, 3) float [0,1] or uint8. Returns the written path
+    (falls back to .gif when no mp4 backend is available in the image)."""
     import imageio.v3 as iio
 
     if frames.dtype != np.uint8:
         frames = (np.clip(frames, 0, 1) * 255).astype(np.uint8)
     frames = make_video_divisible(frames)
-    iio.imwrite(path, frames, fps=fps)
+    try:
+        iio.imwrite(path, frames, fps=fps)
+        return path
+    except (OSError, ValueError):
+        gif = path.rsplit(".", 1)[0] + ".gif"
+        iio.imwrite(gif, frames, duration=1000.0 / fps, loop=0)
+        return gif
