@@ -60,6 +60,27 @@ def _lane_cumsum(x):
     return x
 
 
+def _lane_cumprod_exclusive(x):
+    """Exclusive cumprod along lanes (Hillis-Steele shift-multiplies).
+
+    Direct products instead of exp(cumsum(log1p)) — transmittance needs no
+    transcendentals this way (they dominate the compositor's VPU time).
+    Underflow flushes to 0, which is exactly 'fully occluded'.
+    """
+    rows = x.shape[0]
+    ones = jnp.ones((rows, 1), x.dtype)
+    x = jnp.concatenate([ones, x[:, :-1]], axis=1)  # shift right by one
+    n = x.shape[1]
+    shift = 1
+    while shift < n:
+        shifted = jnp.concatenate(
+            [jnp.ones((rows, shift), x.dtype), x[:, :-shift]], axis=1
+        )
+        x = x * shifted
+        shift *= 2
+    return x
+
+
 def _alpha_from_packed(d, px, py):
     """Shared alpha math. d: (F, CHUNK) packed params; px/py: (P, 1).
 
@@ -105,25 +126,25 @@ def _fwd_kernel(counts_ref, data_ref, accum_ref, tfin_ref, *, tiles_x, cap, ncha
 
         accum_ref[bt] = jnp.zeros((P, nchan), jnp.float32)
 
-        def body(ci, logT, bt=bt, px=px, py=py):
+        def body(ci, Tc, bt=bt, px=px, py=py):
             off = pl.multiple_of(ci * CHUNK, CHUNK)
             d = data_ref[bt, :, pl.ds(off, CHUNK)]
             alpha, _, _, _ = _alpha_from_packed(d, px, py)
-            l1m = jnp.log1p(-alpha)
-            cum = _lane_cumsum(l1m)
-            T = jnp.exp(logT + cum - l1m)  # transmittance before gaussian i
+            one_minus = 1.0 - alpha
+            ex = _lane_cumprod_exclusive(one_minus)
+            T = Tc * ex  # transmittance before gaussian i
             w = alpha * T
             chans = d[7 : 7 + nchan, :]  # (D, CHUNK)
             accum_ref[bt] += jax.lax.dot_general(
                 w, chans, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            return logT + cum[:, -1:]
+            return T[:, -1:] * one_minus[:, -1:]
 
-        logT = jax.lax.fori_loop(
-            0, nchunks, body, jnp.zeros((P, 1), jnp.float32)
+        Tfin = jax.lax.fori_loop(
+            0, nchunks, body, jnp.ones((P, 1), jnp.float32)
         )
-        tfin_ref[bt] = jnp.exp(logT)  # (P, 1)
+        tfin_ref[bt] = Tfin  # (P, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -164,13 +185,13 @@ def _bwd_one_tile(
     gt_term = gt_ref[bt] * tfin_ref[bt]  # (P, 1)
 
     def body(ci, carry):
-        logT, prefix = carry
+        Tc, prefix = carry
         off = pl.multiple_of(ci * CHUNK, CHUNK)
         d = data_ref[bt, :, pl.ds(off, CHUNK)]
         alpha, dx, dy, active = _alpha_from_packed(d, px, py)
-        l1m = jnp.log1p(-alpha)
-        cum = _lane_cumsum(l1m)
-        T = jnp.exp(logT + cum - l1m)
+        one_minus = 1.0 - alpha
+        ex = _lane_cumprod_exclusive(one_minus)
+        T = Tc * ex
         w = alpha * T
 
         chans = d[7 : 7 + nchan, :]  # (D, CHUNK)
@@ -207,13 +228,13 @@ def _bwd_one_tile(
             [g_mx, g_my, g_ca, g_cb, g_cc, g_op, g_r, g_ch], axis=0
         )  # (F, CHUNK)
         gdata_ref[bt, :, pl.ds(off, CHUNK)] = grad_rows
-        return logT + cum[:, -1:], prefix_incl[:, -1:]
+        return T[:, -1:] * one_minus[:, -1:], prefix_incl[:, -1:]
 
     jax.lax.fori_loop(
         0,
         nchunks,
         body,
-        (jnp.zeros((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32)),
+        (jnp.ones((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32)),
     )
 
 
