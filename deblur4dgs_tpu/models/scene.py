@@ -267,16 +267,32 @@ def render(
             # One binning sort for the whole exposure window (exact for
             # compositing thanks to the per-pixel bbox cutoff; see
             # tiling.bin_gaussians_union). Projections are computed up
-            # front (stacked over S) and re-consumed by the scan.
-            from deblur4dgs_tpu.ops.tiling import bin_gaussians_union
+            # front (stacked over S) and re-consumed by the scan; the
+            # sub-frame-independent payload (opacity + constant channels)
+            # is gathered once and shared (split compositor).
+            from deblur4dgs_tpu.ops.rasterize import rasterize_split
+            from deblur4dgs_tpu.ops.tiling import (
+                bin_gaussians_union,
+                pack_static,
+            )
 
             projs = jax.vmap(project_subframe)(
                 samples.poses, samples.times, means2d_tap
             )
             shared = bin_gaussians_union(projs, img_wh, cap)
+            st_data = pack_static(
+                opacities, const_chans, shared[0], shared[3]
+            )
 
             def subframe(carry, proj):
-                return accumulate(carry, *composite_subframe(proj, shared))
+                img, alpha = rasterize_split(
+                    proj, st_data, shared, background, img_wh,
+                    include_depth=return_depth, use_pallas=use_pallas,
+                )
+                if return_depth:
+                    dch = img[..., -1:] / jnp.maximum(alpha[..., None], 1e-10)
+                    img = jnp.concatenate([img[..., :-1], dch], axis=-1)
+                return accumulate(carry, img, alpha, proj.radii)
 
             xs = projs
         else:

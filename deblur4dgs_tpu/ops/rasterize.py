@@ -426,3 +426,333 @@ def rasterize(
     img, tf = untile(accum[:T], tfin[:T], img_wh, binning.tiles_xy, nchan)
     img = img + tf[..., None] * background[None, None, :]
     return img, 1.0 - tf, binning
+
+
+# ---------------------------------------------------------------------------
+# Split-payload compositor (exposure-shared path): per-sub-frame "dyn" rows
+# (means2d/conic/radius[/depth]) + window-shared "static" rows
+# (opacity + constant channels), so the expensive random-row gather of the
+# static payload happens once per blur window instead of once per sub-frame.
+# ---------------------------------------------------------------------------
+
+
+def _alpha_from_split(ddyn, op, px, py):
+    """ddyn: (6(+1), CHUNK) [mx,my,ca,cb,cc,r(,depth)]; op: (1, CHUNK)."""
+    mx = ddyn[0:1, :]
+    my = ddyn[1:2, :]
+    ca = ddyn[2:3, :]
+    cb = ddyn[3:4, :]
+    cc = ddyn[4:5, :]
+    r = ddyn[5:6, :]
+    dx = px - mx
+    dy = py - my
+    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    alpha_raw = op * jnp.exp(-jnp.maximum(sigma, 0.0))
+    inbox = (jnp.abs(dx) <= r) & (jnp.abs(dy) <= r)
+    live = inbox & (sigma >= 0.0) & (alpha_raw >= ALPHA_CUTOFF)
+    active = live & (alpha_raw < ALPHA_CLAMP)
+    alpha = jnp.where(live, jnp.minimum(alpha_raw, ALPHA_CLAMP), 0.0)
+    return alpha, dx, dy, active
+
+
+def _fwd_kernel_split(
+    counts_ref, dyn_ref, st_ref, accum_ref, tfin_ref,
+    *, tiles_x, cap, nchan, depth_in_dyn,
+):
+    tb = pl.program_id(0)
+    n_static = nchan - (1 if depth_in_dyn else 0)
+    for bt in range(TILE_BLOCK):
+        t = tb * TILE_BLOCK + bt
+        count = counts_ref[t]
+        nchunks = pl.cdiv(count, CHUNK)
+
+        tx = (t % tiles_x).astype(jnp.float32)
+        ty = (t // tiles_x).astype(jnp.float32)
+        pid = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+        px = tx * TILE + (pid % TILE).astype(jnp.float32) + 0.5
+        py = ty * TILE + (pid // TILE).astype(jnp.float32) + 0.5
+
+        accum_ref[bt] = jnp.zeros((P, nchan), jnp.float32)
+
+        def body(ci, Tc, bt=bt, px=px, py=py):
+            off = pl.multiple_of(ci * CHUNK, CHUNK)
+            ddyn = dyn_ref[bt, :, pl.ds(off, CHUNK)]
+            dst = st_ref[bt, :, pl.ds(off, CHUNK)]
+            op = dst[0:1, :]
+            alpha, _, _, _ = _alpha_from_split(ddyn, op, px, py)
+            one_minus = 1.0 - alpha
+            ex = _lane_cumprod_exclusive(one_minus)
+            T = Tc * ex
+            w = alpha * T
+            chans = dst[1 : 1 + n_static, :]
+            if depth_in_dyn:
+                chans = jnp.concatenate([chans, ddyn[6:7, :]], axis=0)
+            accum_ref[bt] += jax.lax.dot_general(
+                w, chans, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return T[:, -1:] * one_minus[:, -1:]
+
+        Tfin = jax.lax.fori_loop(0, nchunks, body, jnp.ones((P, 1), jnp.float32))
+        tfin_ref[bt] = Tfin
+
+
+def _bwd_kernel_split(
+    counts_ref, dyn_ref, st_ref, accum_ref, tfin_ref, gacc_ref, gt_ref,
+    gdyn_ref, gst_ref, *, tiles_x, cap, nchan, depth_in_dyn,
+):
+    tb = pl.program_id(0)
+    n_static = nchan - (1 if depth_in_dyn else 0)
+    for bt in range(TILE_BLOCK):
+        t = tb * TILE_BLOCK + bt
+        count = counts_ref[t]
+        nchunks = pl.cdiv(count, CHUNK)
+
+        tx = (t % tiles_x).astype(jnp.float32)
+        ty = (t // tiles_x).astype(jnp.float32)
+        pid = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+        px = tx * TILE + (pid % TILE).astype(jnp.float32) + 0.5
+        py = ty * TILE + (pid // TILE).astype(jnp.float32) + 0.5
+
+        gdyn_ref[bt] = jnp.zeros_like(gdyn_ref[bt])
+        gst_ref[bt] = jnp.zeros_like(gst_ref[bt])
+
+        gacc = gacc_ref[bt]
+        accum = accum_ref[bt]
+        total = jnp.sum(accum * gacc, axis=1, keepdims=True)
+        gt_term = gt_ref[bt] * tfin_ref[bt]
+
+        def body(ci, carry, bt=bt, px=px, py=py):
+            Tc, prefix = carry
+            off = pl.multiple_of(ci * CHUNK, CHUNK)
+            ddyn = dyn_ref[bt, :, pl.ds(off, CHUNK)]
+            dst = st_ref[bt, :, pl.ds(off, CHUNK)]
+            op = dst[0:1, :]
+            alpha, dx, dy, active = _alpha_from_split(ddyn, op, px, py)
+            one_minus = 1.0 - alpha
+            ex = _lane_cumprod_exclusive(one_minus)
+            T = Tc * ex
+            w = alpha * T
+
+            chans = dst[1 : 1 + n_static, :]
+            if depth_in_dyn:
+                chans = jnp.concatenate([chans, ddyn[6:7, :]], axis=0)
+            s = jax.lax.dot_general(
+                gacc, chans, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ws = w * s
+            prefix_incl = prefix + _lane_cumsum(ws)
+            suffix = total - prefix_incl
+            g_alpha = T * s - (suffix + gt_term) / one_minus
+            g_alpha = jnp.where(active, g_alpha, 0.0)
+
+            ca = ddyn[2:3, :]
+            cb = ddyn[3:4, :]
+            cc = ddyn[4:5, :]
+            g_sigma = -alpha * g_alpha
+            g_op = jnp.sum(
+                jnp.where(active, alpha / jnp.maximum(op, 1e-12) * g_alpha, 0.0),
+                axis=0, keepdims=True,
+            )
+            g_ca = jnp.sum(0.5 * dx * dx * g_sigma, axis=0, keepdims=True)
+            g_cb = jnp.sum(dx * dy * g_sigma, axis=0, keepdims=True)
+            g_cc = jnp.sum(0.5 * dy * dy * g_sigma, axis=0, keepdims=True)
+            g_mx = jnp.sum(-(ca * dx + cb * dy) * g_sigma, axis=0, keepdims=True)
+            g_my = jnp.sum(-(cc * dy + cb * dx) * g_sigma, axis=0, keepdims=True)
+            g_ch = jax.lax.dot_general(
+                gacc, w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (nchan, CHUNK)
+            g_r = jnp.zeros_like(g_op)
+            dyn_rows = [g_mx, g_my, g_ca, g_cb, g_cc, g_r]
+            if depth_in_dyn:
+                dyn_rows.append(g_ch[n_static : n_static + 1, :])
+            gdyn_ref[bt, :, pl.ds(off, CHUNK)] = jnp.concatenate(dyn_rows, 0)
+            gst_ref[bt, :, pl.ds(off, CHUNK)] = jnp.concatenate(
+                [g_op, g_ch[:n_static, :]], 0
+            )
+            return T[:, -1:] * one_minus[:, -1:], prefix_incl[:, -1:]
+
+        jax.lax.fori_loop(
+            0, nchunks, body,
+            (jnp.ones((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32)),
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tiles_x", "nchan", "depth_in_dyn")
+)
+def _composite_fwd_split(dyn_data, st_data, counts, tiles_x, nchan, depth_in_dyn):
+    T, Fd, cap = dyn_data.shape
+    Fs = st_data.shape[1]
+    TB = TILE_BLOCK
+    kernel = functools.partial(
+        _fwd_kernel_split, tiles_x=tiles_x, cap=cap, nchan=nchan,
+        depth_in_dyn=depth_in_dyn,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, Fd, cap), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, Fs, cap), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, P, nchan), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, P, 1), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, P, nchan), jnp.float32),
+            jax.ShapeDtypeStruct((T, P, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(counts, dyn_data, st_data)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tiles_x", "nchan", "depth_in_dyn")
+)
+def _composite_bwd_split(
+    dyn_data, st_data, counts, accum, tfin, gacc, gt, tiles_x, nchan,
+    depth_in_dyn,
+):
+    T, Fd, cap = dyn_data.shape
+    Fs = st_data.shape[1]
+    TB = TILE_BLOCK
+    kernel = functools.partial(
+        _bwd_kernel_split, tiles_x=tiles_x, cap=cap, nchan=nchan,
+        depth_in_dyn=depth_in_dyn,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, Fd, cap), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, Fs, cap), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, P, nchan), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, P, 1), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, P, nchan), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, P, 1), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, Fd, cap), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, Fs, cap), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, Fd, cap), jnp.float32),
+            jax.ShapeDtypeStruct((T, Fs, cap), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(counts, dyn_data, st_data, accum, tfin, gacc, gt)
+
+
+def _composite_split_xla(dyn_data, st_data, counts, tiles_x, nchan, depth_in_dyn):
+    """XLA reference for the split compositor."""
+    T = dyn_data.shape[0]
+    n_static = nchan - (1 if depth_in_dyn else 0)
+
+    def one_tile(ddyn, dst, t):
+        tx = (t % tiles_x).astype(jnp.float32)
+        ty = (t // tiles_x).astype(jnp.float32)
+        pid = jnp.arange(P)
+        px = (tx * TILE + (pid % TILE) + 0.5)[:, None]
+        py = (ty * TILE + (pid // TILE) + 0.5)[:, None]
+        alpha, _, _, _ = _alpha_from_split(ddyn, dst[0:1, :], px, py)
+        l1m = jnp.log1p(-alpha)
+        cum = _lane_cumsum(l1m)
+        Tr = jnp.exp(cum - l1m)
+        w = alpha * Tr
+        chans = dst[1 : 1 + n_static, :]
+        if depth_in_dyn:
+            chans = jnp.concatenate([chans, ddyn[6:7, :]], axis=0)
+        accum = w @ chans.T
+        tfin = jnp.exp(cum[:, -1:])
+        return accum, tfin
+
+    return jax.vmap(one_tile)(
+        dyn_data, st_data, jnp.arange(T, dtype=jnp.int32)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def composite_tiles_split(dyn_data, st_data, counts, tiles_x, nchan, depth_in_dyn):
+    """Split-payload compositor with custom VJP (Pallas fwd/bwd)."""
+    return _composite_fwd_split(
+        dyn_data, st_data, counts, tiles_x, nchan, depth_in_dyn
+    )
+
+
+def _cts_fwd(dyn_data, st_data, counts, tiles_x, nchan, depth_in_dyn):
+    accum, tfin = _composite_fwd_split(
+        dyn_data, st_data, counts, tiles_x, nchan, depth_in_dyn
+    )
+    return (accum, tfin), (dyn_data, st_data, counts, accum, tfin)
+
+
+def _cts_bwd(tiles_x, nchan, depth_in_dyn, res, cts):
+    dyn_data, st_data, counts, accum, tfin = res
+    gacc, gt = cts
+    gdyn, gst = _composite_bwd_split(
+        dyn_data, st_data, counts, accum, tfin, gacc, gt, tiles_x, nchan,
+        depth_in_dyn,
+    )
+    return gdyn, gst, None
+
+
+composite_tiles_split.defvjp(_cts_fwd, _cts_bwd)
+
+
+def rasterize_split(
+    proj: Projected,
+    st_data: jnp.ndarray,  # (Tp, 1+Dc, CAP) window-shared static payload
+    shared_binning,  # (gather_idx, counts, raw, order)
+    background: jnp.ndarray,  # (nchan,)
+    img_wh: tuple[int, int],
+    include_depth: bool,
+    use_pallas: bool = True,
+):
+    """Exposure-shared rasterization of one sub-frame (split payload)."""
+    from deblur4dgs_tpu.ops.tiling import num_tiles, pack_dyn, pad_tiles
+
+    gather_idx, counts, raw, order = shared_binning
+    tiles_x, tiles_y = num_tiles(img_wh)
+    T = tiles_x * tiles_y
+    Tp = pad_tiles(T)
+    nchan = st_data.shape[1] - 1 + (1 if include_depth else 0)
+    if counts.shape[0] != Tp:
+        counts = jnp.concatenate(
+            [counts, jnp.zeros((Tp - counts.shape[0],), jnp.int32)]
+        )
+    dyn_data = pack_dyn(proj, gather_idx, order, include_depth)
+    if use_pallas:
+        accum, tfin = composite_tiles_split(
+            dyn_data, st_data, counts, tiles_x, nchan, include_depth
+        )
+    else:
+        accum, tfin = _composite_split_xla(
+            dyn_data, st_data, counts, tiles_x, nchan, include_depth
+        )
+    img, tf = untile(accum[:T], tfin[:T], img_wh, (tiles_x, tiles_y), nchan)
+    img = img + tf[..., None] * background[None, None, :]
+    return img, 1.0 - tf

@@ -380,6 +380,56 @@ def pack_with_binning(
     return TileBinning(tile_data, counts, gather_idx, order, raw_counts, tiles_xy)
 
 
+# Split layout for the exposure-shared path: rows that change per sub-frame
+# vs rows shared across the window (gathered once).
+#   dyn rows:    [mx, my, conic_a, conic_b, conic_c, radius, (depth)]
+#   static rows: [opacity, channel_0 .. channel_{Dc-1}]
+DYN_ROWS = 6
+
+
+def pack_static(
+    opacities: jnp.ndarray,  # (G,)
+    const_channels: jnp.ndarray,  # (G, Dc) sub-frame-independent payload
+    gather_idx: jnp.ndarray,
+    order: jnp.ndarray,
+) -> jnp.ndarray:
+    """(Tp, 1 + Dc, CAP): gathered once per exposure window."""
+    G = opacities.shape[0]
+    gather_idx, _, _ = _pad_lists(
+        gather_idx, jnp.zeros((gather_idx.shape[0],), jnp.int32),
+        jnp.zeros((gather_idx.shape[0],), jnp.int32), G,
+    )
+    packed = jnp.concatenate(
+        [opacities[:, None], const_channels], axis=-1
+    )[order]
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((1, packed.shape[-1]), packed.dtype)], axis=0
+    )
+    return jnp.swapaxes(packed[gather_idx], -1, -2)
+
+
+def pack_dyn(
+    proj: Projected,
+    gather_idx: jnp.ndarray,
+    order: jnp.ndarray,
+    include_depth: bool,
+) -> jnp.ndarray:
+    """(Tp, 6(+1), CAP): per-sub-frame screen-space rows."""
+    G = proj.depths.shape[0]
+    gather_idx, _, _ = _pad_lists(
+        gather_idx, jnp.zeros((gather_idx.shape[0],), jnp.int32),
+        jnp.zeros((gather_idx.shape[0],), jnp.int32), G,
+    )
+    rows = [proj.means2d, proj.conics, proj.radii[:, None]]
+    if include_depth:
+        rows.append(proj.depths[:, None])
+    packed = jnp.concatenate(rows, axis=-1)[order]
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((1, packed.shape[-1]), packed.dtype)], axis=0
+    )
+    return jnp.swapaxes(packed[gather_idx], -1, -2)
+
+
 def pack_and_gather(
     proj: Projected,
     opacities: jnp.ndarray,  # (G,)
