@@ -724,15 +724,20 @@ composite_tiles_split.defvjp(_cts_fwd, _cts_bwd)
 
 
 def rasterize_split(
-    proj: Projected,
+    proj: Projected | None,
     st_data: jnp.ndarray,  # (Tp, 1+Dc, CAP) window-shared static payload
     shared_binning,  # (gather_idx, counts, raw, order)
     background: jnp.ndarray,  # (nchan,)
     img_wh: tuple[int, int],
     include_depth: bool,
     use_pallas: bool = True,
+    dyn_data: jnp.ndarray | None = None,  # pre-gathered (Tp, Fd, CAP)
 ):
-    """Exposure-shared rasterization of one sub-frame (split payload)."""
+    """Exposure-shared rasterization of one sub-frame (split payload).
+
+    Pass ``dyn_data`` (a slice of tiling.pack_dyn_all) to skip the
+    per-sub-frame gather; ``proj`` may then be None.
+    """
     from deblur4dgs_tpu.ops.tiling import num_tiles, pack_dyn, pad_tiles
 
     gather_idx, counts, raw, order = shared_binning
@@ -744,7 +749,8 @@ def rasterize_split(
         counts = jnp.concatenate(
             [counts, jnp.zeros((Tp - counts.shape[0],), jnp.int32)]
         )
-    dyn_data = pack_dyn(proj, gather_idx, order, include_depth)
+    if dyn_data is None:
+        dyn_data = pack_dyn(proj, gather_idx, order, include_depth)
     if use_pallas:
         accum, tfin = composite_tiles_split(
             dyn_data, st_data, counts, tiles_x, nchan, include_depth

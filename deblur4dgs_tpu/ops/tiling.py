@@ -430,6 +430,40 @@ def pack_dyn(
     return jnp.swapaxes(packed[gather_idx], -1, -2)
 
 
+def pack_dyn_all(
+    projs: Projected,  # arrays with leading sub-frame axis (S, G, ...)
+    gather_idx: jnp.ndarray,
+    order: jnp.ndarray,
+    include_depth: bool,
+) -> jnp.ndarray:
+    """(S, Tp, 6(+1), CAP): every sub-frame's screen rows in ONE gather.
+
+    The exposure-shared tile lists (bin_gaussians_union) use identical
+    gather indices for all S sub-frames, so gathering a (G, S*Fd) packed
+    array once moves S*Fd*4 bytes per random row access instead of issuing
+    S separate narrow gathers — random-access index overhead is paid once
+    per gaussian-slot rather than once per sub-frame.
+    """
+    S, G = projs.depths.shape
+    Tp = gather_idx.shape[0]
+    cap = gather_idx.shape[1]
+    gather_idx, _, _ = _pad_lists(
+        gather_idx, jnp.zeros((Tp,), jnp.int32), jnp.zeros((Tp,), jnp.int32), G
+    )
+    Tp = gather_idx.shape[0]
+    rows = [projs.means2d, projs.conics, projs.radii[..., None]]
+    if include_depth:
+        rows.append(projs.depths[..., None])
+    packed = jnp.concatenate(rows, axis=-1)  # (S, G, Fd)
+    Fd = packed.shape[-1]
+    packed = jnp.swapaxes(packed, 0, 1).reshape(G, S * Fd)[order]
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((1, S * Fd), packed.dtype)], axis=0
+    )
+    out = packed[gather_idx]  # (Tp, CAP, S*Fd)
+    return out.reshape(Tp, cap, S, Fd).transpose(2, 0, 3, 1)
+
+
 def pack_and_gather(
     proj: Projected,
     opacities: jnp.ndarray,  # (G,)
