@@ -39,6 +39,12 @@ from deblur4dgs_tpu.ops.tiling import (
 
 ALPHA_CLAMP = 0.999
 ALPHA_CUTOFF = 1.0 / 255.0
+# Chunk-level early termination: stop compositing a tile once every pixel's
+# transmittance is below this (gsplat's per-pixel forward early-stop uses
+# 1e-4; dropped contributions are < 1e-4 of a color unit). The backward
+# kernels recompute the same loop and stop at the same chunk, so forward
+# outputs and gradients stay consistent.
+EARLY_STOP_T = 1e-4
 CHUNK = 128  # gaussians composited per inner step (128-lane aligned)
 P = TILE * TILE  # pixels per tile
 
@@ -126,7 +132,8 @@ def _fwd_kernel(counts_ref, data_ref, accum_ref, tfin_ref, *, tiles_x, cap, ncha
 
         accum_ref[bt] = jnp.zeros((P, nchan), jnp.float32)
 
-        def body(ci, Tc, bt=bt, px=px, py=py):
+        def body(carry, bt=bt, px=px, py=py):
+            ci, Tc = carry
             off = pl.multiple_of(ci * CHUNK, CHUNK)
             d = data_ref[bt, :, pl.ds(off, CHUNK)]
             alpha, _, _, _ = _alpha_from_packed(d, px, py)
@@ -139,10 +146,14 @@ def _fwd_kernel(counts_ref, data_ref, accum_ref, tfin_ref, *, tiles_x, cap, ncha
                 w, chans, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            return T[:, -1:] * one_minus[:, -1:]
+            return ci + 1, T[:, -1:] * one_minus[:, -1:]
 
-        Tfin = jax.lax.fori_loop(
-            0, nchunks, body, jnp.ones((P, 1), jnp.float32)
+        def cond(carry):
+            ci, Tc = carry
+            return (ci < nchunks) & (jnp.max(Tc) >= EARLY_STOP_T)
+
+        _, Tfin = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.ones((P, 1), jnp.float32))
         )
         tfin_ref[bt] = Tfin  # (P, 1)
 
@@ -184,8 +195,8 @@ def _bwd_one_tile(
     total = jnp.sum(accum * gacc, axis=1, keepdims=True)  # (P, 1)
     gt_term = gt_ref[bt] * tfin_ref[bt]  # (P, 1)
 
-    def body(ci, carry):
-        Tc, prefix = carry
+    def body(carry):
+        ci, Tc, prefix = carry
         off = pl.multiple_of(ci * CHUNK, CHUNK)
         d = data_ref[bt, :, pl.ds(off, CHUNK)]
         alpha, dx, dy, active = _alpha_from_packed(d, px, py)
@@ -228,13 +239,20 @@ def _bwd_one_tile(
             [g_mx, g_my, g_ca, g_cb, g_cc, g_op, g_r, g_ch], axis=0
         )  # (F, CHUNK)
         gdata_ref[bt, :, pl.ds(off, CHUNK)] = grad_rows
-        return T[:, -1:] * one_minus[:, -1:], prefix_incl[:, -1:]
+        return ci + 1, T[:, -1:] * one_minus[:, -1:], prefix_incl[:, -1:]
 
-    jax.lax.fori_loop(
-        0,
-        nchunks,
+    def cond(carry):
+        ci, Tc, _ = carry
+        return (ci < nchunks) & (jnp.max(Tc) >= EARLY_STOP_T)
+
+    jax.lax.while_loop(
+        cond,
         body,
-        (jnp.ones((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32)),
+        (
+            jnp.int32(0),
+            jnp.ones((P, 1), jnp.float32),
+            jnp.zeros((P, 1), jnp.float32),
+        ),
     )
 
 
@@ -474,7 +492,8 @@ def _fwd_kernel_split(
 
         accum_ref[bt] = jnp.zeros((P, nchan), jnp.float32)
 
-        def body(ci, Tc, bt=bt, px=px, py=py):
+        def body(carry, bt=bt, px=px, py=py):
+            ci, Tc = carry
             off = pl.multiple_of(ci * CHUNK, CHUNK)
             ddyn = dyn_ref[bt, :, pl.ds(off, CHUNK)]
             dst = st_ref[bt, :, pl.ds(off, CHUNK)]
@@ -491,9 +510,15 @@ def _fwd_kernel_split(
                 w, chans, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            return T[:, -1:] * one_minus[:, -1:]
+            return ci + 1, T[:, -1:] * one_minus[:, -1:]
 
-        Tfin = jax.lax.fori_loop(0, nchunks, body, jnp.ones((P, 1), jnp.float32))
+        def cond(carry):
+            ci, Tc = carry
+            return (ci < nchunks) & (jnp.max(Tc) >= EARLY_STOP_T)
+
+        _, Tfin = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.ones((P, 1), jnp.float32))
+        )
         tfin_ref[bt] = Tfin
 
 
@@ -522,8 +547,8 @@ def _bwd_kernel_split(
         total = jnp.sum(accum * gacc, axis=1, keepdims=True)
         gt_term = gt_ref[bt] * tfin_ref[bt]
 
-        def body(ci, carry, bt=bt, px=px, py=py):
-            Tc, prefix = carry
+        def body(carry, bt=bt, px=px, py=py):
+            ci, Tc, prefix = carry
             off = pl.multiple_of(ci * CHUNK, CHUNK)
             ddyn = dyn_ref[bt, :, pl.ds(off, CHUNK)]
             dst = st_ref[bt, :, pl.ds(off, CHUNK)]
@@ -572,11 +597,19 @@ def _bwd_kernel_split(
             gst_ref[bt, :, pl.ds(off, CHUNK)] = jnp.concatenate(
                 [g_op, g_ch[:n_static, :]], 0
             )
-            return T[:, -1:] * one_minus[:, -1:], prefix_incl[:, -1:]
+            return ci + 1, T[:, -1:] * one_minus[:, -1:], prefix_incl[:, -1:]
 
-        jax.lax.fori_loop(
-            0, nchunks, body,
-            (jnp.ones((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32)),
+        def cond(carry):
+            ci, Tc, _ = carry
+            return (ci < nchunks) & (jnp.max(Tc) >= EARLY_STOP_T)
+
+        jax.lax.while_loop(
+            cond, body,
+            (
+                jnp.int32(0),
+                jnp.ones((P, 1), jnp.float32),
+                jnp.zeros((P, 1), jnp.float32),
+            ),
         )
 
 
