@@ -87,6 +87,35 @@ def _lane_cumprod_exclusive(x):
     return x
 
 
+def _scan_masks():
+    """Triangular (CHUNK, CHUNK) masks for matmul-based lane scans.
+
+    A cumsum along the 128-lane axis as `x @ U` rides the MXU and runs
+    concurrently with the VPU alpha math — the Hillis-Steele shift-add
+    scan was ~40% of the compositor kernels' time (scripts/
+    tpu_kernel_ablate.py). U_incl[k, j] = k <= j; U_excl[k, j] = k < j.
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    return (
+        (rows <= cols).astype(jnp.float32),
+        (rows < cols).astype(jnp.float32),
+    )
+
+
+def _mm_scan(x, mask):
+    """x (P, CHUNK) @ mask (CHUNK, CHUNK): cumsum along lanes on the MXU."""
+    return jax.lax.dot_general(
+        x, mask, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _transmittance(alpha, u_excl):
+    """Per-lane exclusive transmittance within a chunk: exp(cumsum(log1p))."""
+    l1m = jnp.log1p(-alpha)
+    return jnp.exp(_mm_scan(l1m, u_excl))
+
+
 def _alpha_from_packed(d, px, py):
     """Shared alpha math. d: (F, CHUNK) packed params; px/py: (P, 1).
 
@@ -119,6 +148,7 @@ def _alpha_from_packed(d, px, py):
 
 def _fwd_kernel(counts_ref, data_ref, accum_ref, tfin_ref, *, tiles_x, cap, nchan):
     tb = pl.program_id(0)
+    _, u_excl = _scan_masks()
     for bt in range(TILE_BLOCK):
         t = tb * TILE_BLOCK + bt
         count = counts_ref[t]
@@ -138,7 +168,7 @@ def _fwd_kernel(counts_ref, data_ref, accum_ref, tfin_ref, *, tiles_x, cap, ncha
             d = data_ref[bt, :, pl.ds(off, CHUNK)]
             alpha, _, _, _ = _alpha_from_packed(d, px, py)
             one_minus = 1.0 - alpha
-            ex = _lane_cumprod_exclusive(one_minus)
+            ex = _transmittance(alpha, u_excl)
             T = Tc * ex  # transmittance before gaussian i
             w = alpha * T
             chans = d[7 : 7 + nchan, :]  # (D, CHUNK)
@@ -168,16 +198,18 @@ def _bwd_kernel(
     *, tiles_x, cap, nchan,
 ):
     tb = pl.program_id(0)
+    u_incl, u_excl = _scan_masks()
     for bt in range(TILE_BLOCK):
         _bwd_one_tile(
             counts_ref, data_ref, accum_ref, tfin_ref, gacc_ref, gt_ref,
             gdata_ref, tb * TILE_BLOCK + bt, bt, tiles_x, cap, nchan,
+            u_incl, u_excl,
         )
 
 
 def _bwd_one_tile(
     counts_ref, data_ref, accum_ref, tfin_ref, gacc_ref, gt_ref, gdata_ref,
-    t, bt, tiles_x, cap, nchan,
+    t, bt, tiles_x, cap, nchan, u_incl, u_excl,
 ):
     count = counts_ref[t]
     nchunks = pl.cdiv(count, CHUNK)
@@ -201,7 +233,7 @@ def _bwd_one_tile(
         d = data_ref[bt, :, pl.ds(off, CHUNK)]
         alpha, dx, dy, active = _alpha_from_packed(d, px, py)
         one_minus = 1.0 - alpha
-        ex = _lane_cumprod_exclusive(one_minus)
+        ex = _transmittance(alpha, u_excl)
         T = Tc * ex
         w = alpha * T
 
@@ -211,7 +243,7 @@ def _bwd_one_tile(
             preferred_element_type=jnp.float32,
         )  # (P, CHUNK): per-pixel color·cotangent of each gaussian
         ws = w * s
-        prefix_incl = prefix + _lane_cumsum(ws)
+        prefix_incl = prefix + _mm_scan(ws, u_incl)
         suffix = total - prefix_incl  # sum_{j>i} w_j s_j
         g_alpha = T * s - (suffix + gt_term) / (1.0 - alpha)
         g_alpha = jnp.where(active, g_alpha, 0.0)
@@ -479,6 +511,7 @@ def _fwd_kernel_split(
 ):
     tb = pl.program_id(0)
     n_static = nchan - (1 if depth_in_dyn else 0)
+    _, u_excl = _scan_masks()
     for bt in range(TILE_BLOCK):
         t = tb * TILE_BLOCK + bt
         count = counts_ref[t]
@@ -500,7 +533,7 @@ def _fwd_kernel_split(
             op = dst[0:1, :]
             alpha, _, _, _ = _alpha_from_split(ddyn, op, px, py)
             one_minus = 1.0 - alpha
-            ex = _lane_cumprod_exclusive(one_minus)
+            ex = _transmittance(alpha, u_excl)
             T = Tc * ex
             w = alpha * T
             chans = dst[1 : 1 + n_static, :]
@@ -528,6 +561,7 @@ def _bwd_kernel_split(
 ):
     tb = pl.program_id(0)
     n_static = nchan - (1 if depth_in_dyn else 0)
+    u_incl, u_excl = _scan_masks()
     for bt in range(TILE_BLOCK):
         t = tb * TILE_BLOCK + bt
         count = counts_ref[t]
@@ -555,7 +589,7 @@ def _bwd_kernel_split(
             op = dst[0:1, :]
             alpha, dx, dy, active = _alpha_from_split(ddyn, op, px, py)
             one_minus = 1.0 - alpha
-            ex = _lane_cumprod_exclusive(one_minus)
+            ex = _transmittance(alpha, u_excl)
             T = Tc * ex
             w = alpha * T
 
@@ -567,7 +601,7 @@ def _bwd_kernel_split(
                 preferred_element_type=jnp.float32,
             )
             ws = w * s
-            prefix_incl = prefix + _lane_cumsum(ws)
+            prefix_incl = prefix + _mm_scan(ws, u_incl)
             suffix = total - prefix_incl
             g_alpha = T * s - (suffix + gt_term) / one_minus
             g_alpha = jnp.where(active, g_alpha, 0.0)
