@@ -38,7 +38,133 @@ FD = 7  # mx,my,ca,cb,cc,r,depth
 FS = 1 + NCH - 1  # opacity + 10 static channels
 
 
+def make_unrolled_kernel(use_mm_scan):
+    """Python-unrolled chunk loop: static slices, pl.when count guards."""
+    from deblur4dgs_tpu.ops.rasterize import _scan_masks, _transmittance
+
+    def kernel(counts_ref, dyn_ref, st_ref, accum_ref, tfin_ref):
+        _, u_excl = _scan_masks()
+        tb = pl.program_id(0)
+        for bt in range(TILE_BLOCK):
+            t = tb * TILE_BLOCK + bt
+            count = counts_ref[t]
+            tx = (t % TILES_X).astype(jnp.float32)
+            ty = (t // TILES_X).astype(jnp.float32)
+            pid = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+            px = tx * TILE + (pid % TILE).astype(jnp.float32) + 0.5
+            py = ty * TILE + (pid // TILE).astype(jnp.float32) + 0.5
+            accum = jnp.zeros((P, NCH), jnp.float32)
+            Tc = jnp.ones((P, 1), jnp.float32)
+            for ci in range(CAP // CHUNK):
+                ddyn = dyn_ref[bt, :, ci * CHUNK : (ci + 1) * CHUNK]
+                dst = st_ref[bt, :, ci * CHUNK : (ci + 1) * CHUNK]
+                op = dst[0:1, :]
+                mx = ddyn[0:1, :]
+                my = ddyn[1:2, :]
+                ca = ddyn[2:3, :]
+                cb = ddyn[3:4, :]
+                cc = ddyn[4:5, :]
+                r = ddyn[5:6, :]
+                dx = px - mx
+                dy = py - my
+                sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+                alpha_raw = op * jnp.exp(-jnp.maximum(sigma, 0.0))
+                live = (
+                    (jnp.abs(dx) <= r)
+                    & (jnp.abs(dy) <= r)
+                    & (sigma >= 0.0)
+                    & (alpha_raw >= 1.0 / 255.0)
+                )
+                alpha = jnp.where(live, jnp.minimum(alpha_raw, 0.999), 0.0)
+                on = (ci * CHUNK < count).astype(jnp.float32)
+                alpha = alpha * on  # dead chunks contribute nothing
+                one_minus = 1.0 - alpha
+                if use_mm_scan:
+                    ex = _transmittance(alpha, u_excl)
+                else:
+                    ex = _lane_cumprod_exclusive(one_minus)
+                T = Tc * ex
+                w = alpha * T
+                chans = jnp.concatenate(
+                    [dst[1:FS, :], ddyn[6:7, :]], axis=0
+                )
+                accum = accum + jax.lax.dot_general(
+                    w, chans, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                Tc = T[:, -1:] * one_minus[:, -1:]
+            accum_ref[bt] = accum
+            tfin_ref[bt] = Tc
+
+    return kernel
+
+
+def make_unrolled_when_kernel():
+    """Unrolled with pl.when guards: dead chunks skip compute entirely."""
+    from deblur4dgs_tpu.ops.rasterize import _scan_masks, _transmittance
+
+    def kernel(counts_ref, dyn_ref, st_ref, accum_ref, tfin_ref):
+        _, u_excl = _scan_masks()
+        tb = pl.program_id(0)
+        for bt in range(TILE_BLOCK):
+            t = tb * TILE_BLOCK + bt
+            count = counts_ref[t]
+            tx = (t % TILES_X).astype(jnp.float32)
+            ty = (t // TILES_X).astype(jnp.float32)
+            pid = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+            px = tx * TILE + (pid % TILE).astype(jnp.float32) + 0.5
+            py = ty * TILE + (pid // TILE).astype(jnp.float32) + 0.5
+            accum_ref[bt] = jnp.zeros((P, NCH), jnp.float32)
+            tfin_ref[bt] = jnp.ones((P, 1), jnp.float32)
+            for ci in range(CAP // CHUNK):
+
+                @pl.when(ci * CHUNK < count)
+                def _(bt=bt, ci=ci, px=px, py=py):
+                    ddyn = dyn_ref[bt, :, ci * CHUNK : (ci + 1) * CHUNK]
+                    dst = st_ref[bt, :, ci * CHUNK : (ci + 1) * CHUNK]
+                    op = dst[0:1, :]
+                    mx = ddyn[0:1, :]
+                    my = ddyn[1:2, :]
+                    ca = ddyn[2:3, :]
+                    cb = ddyn[3:4, :]
+                    cc = ddyn[4:5, :]
+                    r = ddyn[5:6, :]
+                    dx = px - mx
+                    dy = py - my
+                    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+                    alpha_raw = op * jnp.exp(-jnp.maximum(sigma, 0.0))
+                    live = (
+                        (jnp.abs(dx) <= r)
+                        & (jnp.abs(dy) <= r)
+                        & (sigma >= 0.0)
+                        & (alpha_raw >= 1.0 / 255.0)
+                    )
+                    alpha = jnp.where(live, jnp.minimum(alpha_raw, 0.999), 0.0)
+                    one_minus = 1.0 - alpha
+                    ex = _transmittance(alpha, u_excl)
+                    Tc = tfin_ref[bt]
+                    T = Tc * ex
+                    w = alpha * T
+                    chans = jnp.concatenate(
+                        [dst[1:FS, :], ddyn[6:7, :]], axis=0
+                    )
+                    accum_ref[bt] += jax.lax.dot_general(
+                        w, chans, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    tfin_ref[bt] = T[:, -1:] * one_minus[:, -1:]
+
+    return kernel
+
+
 def make_kernel(variant):
+    if variant == "unroll-mm":
+        return make_unrolled_kernel(True)
+    if variant == "unroll-hs":
+        return make_unrolled_kernel(False)
+    if variant == "unroll-when":
+        return make_unrolled_when_kernel()
+
     def kernel(counts_ref, dyn_ref, st_ref, accum_ref, tfin_ref):
         tb = pl.program_id(0)
         for bt in range(TILE_BLOCK):
@@ -164,7 +290,7 @@ def main():
     dyn = jnp.asarray(dyn)
     st = jnp.asarray(st)
 
-    for v in ["full", "no-exp", "no-cumprod", "no-dot", "load-only"]:
+    for v in ["full", "unroll-mm", "unroll-when", "load-only"]:
         run_variant(v, counts, dyn, st)
 
 
