@@ -99,6 +99,10 @@ class RenderConfig:
     num_exposure: int = 11  # K sub-frames (scene_model.py:248)
     tile_cap: int = 512  # per-tile gaussian capacity
     use_pallas: bool = True
+    # Count-sorted tile buckets on the exposure-shared path: rank-dependent
+    # per-tile capacities cut pack/DMA traffic ~3x (ops/tiling.py
+    # default_bucket_spec). Disable for uniform tile_cap everywhere.
+    bucketed: bool = True
 
 
 def asdict(cfg):

@@ -140,6 +140,7 @@ def render(
     means2d_tap: jnp.ndarray | None = None,  # (S, N, 2) zeros; grads => density stats
     subframe_sharding=None,  # jax Sharding for the S axis => vmap+GSPMD path
     shared_exposure_binning: bool = True,  # one binning sort per window
+    bucketed: bool = True,  # count-sorted tile buckets (shared path only)
 ) -> dict:
     assert not (fg_only and bg_only)
     W, H = img_wh
@@ -270,38 +271,89 @@ def render(
             # front (stacked over S) and re-consumed by the scan; the
             # sub-frame-independent payload (opacity + constant channels)
             # is gathered once and shared (split compositor).
-            from deblur4dgs_tpu.ops.rasterize import rasterize_split
+            from deblur4dgs_tpu.ops.rasterize import (
+                rasterize_split,
+                rasterize_split_buckets,
+            )
             from deblur4dgs_tpu.ops.tiling import (
                 bin_gaussians_union,
+                bucket_tiles,
+                default_bucket_spec,
+                num_tiles,
                 pack_dyn_all,
                 pack_static,
+                packed_dyn_table,
+                packed_static_table,
             )
 
             projs = jax.vmap(project_subframe)(
                 samples.poses, samples.times, means2d_tap
             )
             shared = bin_gaussians_union(projs, img_wh, cap)
-            st_data = pack_static(
-                opacities, const_chans, shared[0], shared[3]
-            )
-            # One wide gather for all S sub-frames (and one scatter-add in
-            # the backward) instead of S narrow ones — the narrow gathers'
-            # backward scatters dominated the window cost (~2.3x).
-            dyn_all = pack_dyn_all(projs, shared[0], shared[3], return_depth)
-
-            def subframe(carry, xs):
-                dyn, radii = xs
-                img, alpha = rasterize_split(
-                    None, st_data, shared, background, img_wh,
-                    include_depth=return_depth, use_pallas=use_pallas,
-                    dyn_data=dyn,
+            if bucketed:
+                # Count-sorted tile buckets: heavy tiles get full capacity,
+                # the tail a fraction — pack gathers, gradient scatters,
+                # and kernel DMA all pay per slot, and the dense layout is
+                # ~80% sentinel slots at realistic occupancies.
+                tiles_x, tiles_y = num_tiles(img_wh)
+                spec = default_bucket_spec(tiles_x * tiles_y, cap)
+                buckets = bucket_tiles(
+                    shared[0], shared[1], shared[2], N, spec
                 )
-                if return_depth:
-                    dch = img[..., -1:] / jnp.maximum(alpha[..., None], 1e-10)
-                    img = jnp.concatenate([img[..., :-1], dch], axis=-1)
-                return accumulate(carry, img, alpha, radii)
+                st_tbl = packed_static_table(
+                    opacities, const_chans, shared[3]
+                )
+                dyn_tbl = packed_dyn_table(projs, shared[3], return_depth)
+                st_list = tuple(
+                    pack_static(opacities, const_chans, gi, shared[3], st_tbl)
+                    for gi in buckets.gather_idx
+                )
+                dyn_lists = tuple(
+                    pack_dyn_all(projs, gi, shared[3], return_depth, dyn_tbl)
+                    for gi in buckets.gather_idx
+                )  # per bucket: (S, Tb_pad, Fd, cap_b)
 
-            xs = (dyn_all, projs.radii)
+                def subframe(carry, xs):
+                    dyn_s, radii = xs
+                    img, alpha = rasterize_split_buckets(
+                        buckets, st_list, dyn_s, background, img_wh,
+                        include_depth=return_depth, use_pallas=use_pallas,
+                    )
+                    if return_depth:
+                        dch = img[..., -1:] / jnp.maximum(
+                            alpha[..., None], 1e-10
+                        )
+                        img = jnp.concatenate([img[..., :-1], dch], axis=-1)
+                    return accumulate(carry, img, alpha, radii)
+
+                xs = (dyn_lists, projs.radii)
+            else:
+                st_data = pack_static(
+                    opacities, const_chans, shared[0], shared[3]
+                )
+                # One wide gather for all S sub-frames (and one scatter-add
+                # in the backward) instead of S narrow ones — the narrow
+                # gathers' backward scatters dominated the window cost
+                # (~2.3x).
+                dyn_all = pack_dyn_all(
+                    projs, shared[0], shared[3], return_depth
+                )
+
+                def subframe(carry, xs):
+                    dyn, radii = xs
+                    img, alpha = rasterize_split(
+                        None, st_data, shared, background, img_wh,
+                        include_depth=return_depth, use_pallas=use_pallas,
+                        dyn_data=dyn,
+                    )
+                    if return_depth:
+                        dch = img[..., -1:] / jnp.maximum(
+                            alpha[..., None], 1e-10
+                        )
+                        img = jnp.concatenate([img[..., :-1], dch], axis=-1)
+                    return accumulate(carry, img, alpha, radii)
+
+                xs = (dyn_all, projs.radii)
         else:
 
             def subframe(carry, xs):

@@ -309,13 +309,13 @@ def _composite_fwd_pallas(tile_data, counts, tiles_x, nchan):
         num_scalar_prefetch=1,
         grid=(T // TB,),
         in_specs=[
-            pl.BlockSpec((TB, F, cap), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, F, cap), lambda t, *s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TB, P, nchan), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, P, nchan), lambda t, *s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, P, 1), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, P, 1), lambda t, *s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -342,18 +342,18 @@ def _composite_bwd_pallas(tile_data, counts, accum, tfin, gacc, gt, tiles_x, nch
         num_scalar_prefetch=1,
         grid=(T // TB,),
         in_specs=[
-            pl.BlockSpec((TB, F, cap), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, F, cap), lambda t, *s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, P, nchan), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, P, nchan), lambda t, *s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, P, 1), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, P, 1), lambda t, *s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, P, nchan), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, P, nchan), lambda t, *s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, P, 1), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, P, 1), lambda t, *s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TB, F, cap), lambda t, c: (t, 0, 0),
+        out_specs=pl.BlockSpec((TB, F, cap), lambda t, *s: (t, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -506,15 +506,16 @@ def _alpha_from_split(ddyn, op, px, py):
 
 
 def _fwd_kernel_split(
-    counts_ref, dyn_ref, st_ref, accum_ref, tfin_ref,
+    tile_ids_ref, counts_ref, dyn_ref, st_ref, accum_ref, tfin_ref,
     *, tiles_x, cap, nchan, depth_in_dyn,
 ):
     tb = pl.program_id(0)
     n_static = nchan - (1 if depth_in_dyn else 0)
     _, u_excl = _scan_masks()
     for bt in range(TILE_BLOCK):
-        t = tb * TILE_BLOCK + bt
-        count = counts_ref[t]
+        tpos = tb * TILE_BLOCK + bt
+        count = counts_ref[tpos]
+        t = tile_ids_ref[tpos]  # image-tile id (bucketed rows are permuted)
         nchunks = pl.cdiv(count, CHUNK)
 
         tx = (t % tiles_x).astype(jnp.float32)
@@ -556,15 +557,17 @@ def _fwd_kernel_split(
 
 
 def _bwd_kernel_split(
-    counts_ref, dyn_ref, st_ref, accum_ref, tfin_ref, gacc_ref, gt_ref,
-    gdyn_ref, gst_ref, *, tiles_x, cap, nchan, depth_in_dyn,
+    tile_ids_ref, counts_ref, dyn_ref, st_ref, accum_ref, tfin_ref,
+    gacc_ref, gt_ref, gdyn_ref, gst_ref,
+    *, tiles_x, cap, nchan, depth_in_dyn,
 ):
     tb = pl.program_id(0)
     n_static = nchan - (1 if depth_in_dyn else 0)
     u_incl, u_excl = _scan_masks()
     for bt in range(TILE_BLOCK):
-        t = tb * TILE_BLOCK + bt
-        count = counts_ref[t]
+        tpos = tb * TILE_BLOCK + bt
+        count = counts_ref[tpos]
+        t = tile_ids_ref[tpos]
         nchunks = pl.cdiv(count, CHUNK)
 
         tx = (t % tiles_x).astype(jnp.float32)
@@ -650,7 +653,9 @@ def _bwd_kernel_split(
 @functools.partial(
     jax.jit, static_argnames=("tiles_x", "nchan", "depth_in_dyn")
 )
-def _composite_fwd_split(dyn_data, st_data, counts, tiles_x, nchan, depth_in_dyn):
+def _composite_fwd_split(
+    dyn_data, st_data, counts, tile_ids, tiles_x, nchan, depth_in_dyn
+):
     T, Fd, cap = dyn_data.shape
     Fs = st_data.shape[1]
     TB = TILE_BLOCK
@@ -659,18 +664,18 @@ def _composite_fwd_split(dyn_data, st_data, counts, tiles_x, nchan, depth_in_dyn
         depth_in_dyn=depth_in_dyn,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(T // TB,),
         in_specs=[
-            pl.BlockSpec((TB, Fd, cap), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, Fd, cap), lambda t, *s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, Fs, cap), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, Fs, cap), lambda t, *s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TB, P, nchan), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, P, nchan), lambda t, *s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, P, 1), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, P, 1), lambda t, *s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -682,15 +687,15 @@ def _composite_fwd_split(dyn_data, st_data, counts, tiles_x, nchan, depth_in_dyn
             jax.ShapeDtypeStruct((T, P, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(counts, dyn_data, st_data)
+    )(tile_ids, counts, dyn_data, st_data)
 
 
 @functools.partial(
     jax.jit, static_argnames=("tiles_x", "nchan", "depth_in_dyn")
 )
 def _composite_bwd_split(
-    dyn_data, st_data, counts, accum, tfin, gacc, gt, tiles_x, nchan,
-    depth_in_dyn,
+    dyn_data, st_data, counts, tile_ids, accum, tfin, gacc, gt, tiles_x,
+    nchan, depth_in_dyn,
 ):
     T, Fd, cap = dyn_data.shape
     Fs = st_data.shape[1]
@@ -700,26 +705,26 @@ def _composite_bwd_split(
         depth_in_dyn=depth_in_dyn,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(T // TB,),
         in_specs=[
-            pl.BlockSpec((TB, Fd, cap), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, Fd, cap), lambda t, *s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, Fs, cap), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, Fs, cap), lambda t, *s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, P, nchan), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, P, nchan), lambda t, *s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, P, 1), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, P, 1), lambda t, *s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, P, nchan), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, P, nchan), lambda t, *s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, P, 1), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, P, 1), lambda t, *s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TB, Fd, cap), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, Fd, cap), lambda t, *s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, Fs, cap), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((TB, Fs, cap), lambda t, *s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -731,12 +736,13 @@ def _composite_bwd_split(
             jax.ShapeDtypeStruct((T, Fs, cap), jnp.float32),
         ],
         interpret=_interpret(),
-    )(counts, dyn_data, st_data, accum, tfin, gacc, gt)
+    )(tile_ids, counts, dyn_data, st_data, accum, tfin, gacc, gt)
 
 
-def _composite_split_xla(dyn_data, st_data, counts, tiles_x, nchan, depth_in_dyn):
+def _composite_split_xla(
+    dyn_data, st_data, counts, tile_ids, tiles_x, nchan, depth_in_dyn
+):
     """XLA reference for the split compositor."""
-    T = dyn_data.shape[0]
     n_static = nchan - (1 if depth_in_dyn else 0)
 
     def one_tile(ddyn, dst, t):
@@ -757,34 +763,38 @@ def _composite_split_xla(dyn_data, st_data, counts, tiles_x, nchan, depth_in_dyn
         tfin = jnp.exp(cum[:, -1:])
         return accum, tfin
 
-    return jax.vmap(one_tile)(
-        dyn_data, st_data, jnp.arange(T, dtype=jnp.int32)
-    )
+    return jax.vmap(one_tile)(dyn_data, st_data, tile_ids)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def composite_tiles_split(dyn_data, st_data, counts, tiles_x, nchan, depth_in_dyn):
-    """Split-payload compositor with custom VJP (Pallas fwd/bwd)."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def composite_tiles_split(
+    dyn_data, st_data, counts, tile_ids, tiles_x, nchan, depth_in_dyn
+):
+    """Split-payload compositor with custom VJP (Pallas fwd/bwd).
+
+    ``tile_ids`` maps each data row to its image tile (identity for the
+    dense layout; a permutation slice for count-sorted buckets).
+    """
     return _composite_fwd_split(
-        dyn_data, st_data, counts, tiles_x, nchan, depth_in_dyn
+        dyn_data, st_data, counts, tile_ids, tiles_x, nchan, depth_in_dyn
     )
 
 
-def _cts_fwd(dyn_data, st_data, counts, tiles_x, nchan, depth_in_dyn):
+def _cts_fwd(dyn_data, st_data, counts, tile_ids, tiles_x, nchan, depth_in_dyn):
     accum, tfin = _composite_fwd_split(
-        dyn_data, st_data, counts, tiles_x, nchan, depth_in_dyn
+        dyn_data, st_data, counts, tile_ids, tiles_x, nchan, depth_in_dyn
     )
-    return (accum, tfin), (dyn_data, st_data, counts, accum, tfin)
+    return (accum, tfin), (dyn_data, st_data, counts, tile_ids, accum, tfin)
 
 
 def _cts_bwd(tiles_x, nchan, depth_in_dyn, res, cts):
-    dyn_data, st_data, counts, accum, tfin = res
+    dyn_data, st_data, counts, tile_ids, accum, tfin = res
     gacc, gt = cts
     gdyn, gst = _composite_bwd_split(
-        dyn_data, st_data, counts, accum, tfin, gacc, gt, tiles_x, nchan,
-        depth_in_dyn,
+        dyn_data, st_data, counts, tile_ids, accum, tfin, gacc, gt, tiles_x,
+        nchan, depth_in_dyn,
     )
-    return gdyn, gst, None
+    return gdyn, gst, None, None
 
 
 composite_tiles_split.defvjp(_cts_fwd, _cts_bwd)
@@ -818,14 +828,55 @@ def rasterize_split(
         )
     if dyn_data is None:
         dyn_data = pack_dyn(proj, gather_idx, order, include_depth)
+    tile_ids = jnp.arange(Tp, dtype=jnp.int32)
     if use_pallas:
         accum, tfin = composite_tiles_split(
-            dyn_data, st_data, counts, tiles_x, nchan, include_depth
+            dyn_data, st_data, counts, tile_ids, tiles_x, nchan, include_depth
         )
     else:
         accum, tfin = _composite_split_xla(
-            dyn_data, st_data, counts, tiles_x, nchan, include_depth
+            dyn_data, st_data, counts, tile_ids, tiles_x, nchan, include_depth
         )
     img, tf = untile(accum[:T], tfin[:T], img_wh, (tiles_x, tiles_y), nchan)
+    img = img + tf[..., None] * background[None, None, :]
+    return img, 1.0 - tf
+
+
+def rasterize_split_buckets(
+    buckets,  # tiling.TileBuckets
+    st_list,  # per bucket: (Tb_pad, 1+Dc, cap_b) static payload
+    dyn_list,  # per bucket: (Tb_pad, Fd, cap_b) this sub-frame's dyn rows
+    background: jnp.ndarray,  # (nchan,)
+    img_wh: tuple[int, int],
+    include_depth: bool,
+    use_pallas: bool = True,
+):
+    """One sub-frame through count-sorted tile buckets.
+
+    Each bucket composites its tiles at its own capacity; results scatter
+    back into image-tile order (every image tile belongs to exactly one
+    bucket, so a plain row scatter reassembles the full tile grid).
+    """
+    from deblur4dgs_tpu.ops.tiling import num_tiles
+
+    tiles_x, tiles_y = num_tiles(img_wh)
+    T = tiles_x * tiles_y
+    nchan = st_list[0].shape[1] - 1 + (1 if include_depth else 0)
+    accum_full = jnp.zeros((T, P, nchan))
+    tfin_full = jnp.ones((T, P, 1))
+    for st, dyn, cnt, ids, size in zip(
+        st_list, dyn_list, buckets.counts, buckets.tile_ids, buckets.sizes
+    ):
+        if use_pallas:
+            acc, tf = composite_tiles_split(
+                dyn, st, cnt, ids, tiles_x, nchan, include_depth
+            )
+        else:
+            acc, tf = _composite_split_xla(
+                dyn, st, cnt, ids, tiles_x, nchan, include_depth
+            )
+        accum_full = accum_full.at[ids[:size]].set(acc[:size])
+        tfin_full = tfin_full.at[ids[:size]].set(tf[:size])
+    img, tf = untile(accum_full, tfin_full, img_wh, (tiles_x, tiles_y), nchan)
     img = img + tf[..., None] * background[None, None, :]
     return img, 1.0 - tf

@@ -151,6 +151,7 @@ def compute_static_losses(
             return_mask=True, return_depth=True, bg_color=1.0,
             num_exposure=rcfg.num_exposure, cap=rcfg.tile_cap,
             use_pallas=rcfg.use_pallas, means2d_tap=tap,
+            bucketed=rcfg.bucketed,
             subframe_sharding=subframe_sharding,
         )
         keep = {
@@ -247,6 +248,7 @@ def compute_dynamic_losses(
         return_mask=True, return_depth=True, bg_color=1.0,
         num_exposure=rcfg.num_exposure, cap=rcfg.tile_cap,
         use_pallas=rcfg.use_pallas, means2d_tap=taps[0],
+        bucketed=rcfg.bucketed,
         subframe_sharding=subframe_sharding,
     )
 
@@ -565,6 +567,7 @@ def compute_static_reg_losses(
             return_mask=True, return_depth=False, bg_color=1.0,
             num_exposure=rcfg.num_exposure, cap=rcfg.tile_cap,
             use_pallas=rcfg.use_pallas, means2d_tap=tap,
+            bucketed=rcfg.bucketed,
         )
         return carry, {"img": out["img"], "radii": out["radii"]}
 

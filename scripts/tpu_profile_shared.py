@@ -108,14 +108,17 @@ def main():
         [counts, jnp.zeros((Tp - counts.shape[0],), jnp.int32)]
     )
 
+    tids = jnp.arange(Tp, dtype=jnp.int32)
     comp_fn = jax.jit(
-        lambda d, s: composite_tiles_split(d, s, cpad, tiles_x, NCH, True)
+        lambda d, s: composite_tiles_split(d, s, cpad, tids, tiles_x, NCH, True)
     )
     timeit("split fwd composite (1 subfr)", comp_fn, dyn0, st_data)
 
     def comp_bwd(d, s):
         def loss(d, s):
-            acc, tf = composite_tiles_split(d, s, cpad, tiles_x, NCH, True)
+            acc, tf = composite_tiles_split(
+                d, s, cpad, tids, tiles_x, NCH, True
+            )
             return jnp.sum(acc) + jnp.sum(tf)
 
         return jax.grad(loss, argnums=(0, 1))(d, s)
@@ -172,6 +175,49 @@ def main():
         return jax.grad(window_wide)(means, opac, chans)
 
     timeit("window fwd+bwd (wide gather)", window_wide_bwd, means, opac, chans, n=3)
+
+    from deblur4dgs_tpu.ops.rasterize import rasterize_split_buckets
+    from deblur4dgs_tpu.ops.tiling import (
+        bucket_tiles,
+        default_bucket_spec,
+        packed_dyn_table,
+        packed_static_table,
+    )
+
+    spec = default_bucket_spec(tiles_x * tiles_y, CAP)
+    print("bucket spec:", spec)
+
+    @jax.jit
+    def window_bucketed(means, opac, chans):
+        projs = proj_all(means)
+        shared = bin_gaussians_union(projs, (W, H), CAP)
+        buckets = bucket_tiles(shared[0], shared[1], shared[2], G, spec)
+        st_tbl = packed_static_table(opac, chans, shared[3])
+        dyn_tbl = packed_dyn_table(projs, shared[3], True)
+        st_list = tuple(
+            pack_static(opac, chans, gi, shared[3], st_tbl)
+            for gi in buckets.gather_idx
+        )
+        dyn_lists = tuple(
+            pack_dyn_all(projs, gi, shared[3], True, dyn_tbl)
+            for gi in buckets.gather_idx
+        )
+        out = 0.0
+        for s in range(S):
+            img, alpha = rasterize_split_buckets(
+                buckets, st_list, tuple(d[s] for d in dyn_lists), bg,
+                (W, H), include_depth=True,
+            )
+            out = out + jnp.sum(img) + jnp.sum(alpha)
+        return out
+
+    timeit("window fwd (bucketed)", window_bucketed, means, opac, chans, n=3)
+
+    @jax.jit
+    def window_bucketed_bwd(means, opac, chans):
+        return jax.grad(window_bucketed)(means, opac, chans)
+
+    timeit("window fwd+bwd (bucketed)", window_bucketed_bwd, means, opac, chans, n=3)
 
 
 if __name__ == "__main__":
