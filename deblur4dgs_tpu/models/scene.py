@@ -290,12 +290,18 @@ def render(
                 samples.poses, samples.times, means2d_tap
             )
             shared = bin_gaussians_union(projs, img_wh, cap)
-            if bucketed:
+            tiles_x, tiles_y = num_tiles(img_wh)
+            # Bucketing's rank-dependent capacities assume the skewed
+            # occupancy distribution of real images; on tiny images (unit
+            # tests) nearly every tile lands in the reduced-cap tail and
+            # dense tiles get truncated, degrading gradients. Only bucket
+            # when there are enough tiles for the count-sort to separate
+            # heavy from light.
+            if bucketed and tiles_x * tiles_y >= 64:
                 # Count-sorted tile buckets: heavy tiles get full capacity,
                 # the tail a fraction — pack gathers, gradient scatters,
                 # and kernel DMA all pay per slot, and the dense layout is
                 # ~80% sentinel slots at realistic occupancies.
-                tiles_x, tiles_y = num_tiles(img_wh)
                 spec = default_bucket_spec(tiles_x * tiles_y, cap)
                 buckets = bucket_tiles(
                     shared[0], shared[1], shared[2], N, spec
