@@ -272,8 +272,8 @@ def render(
             # sub-frame-independent payload (opacity + constant channels)
             # is gathered once and shared (split compositor).
             from deblur4dgs_tpu.ops.rasterize import (
+                composite_window_buckets,
                 rasterize_split,
-                rasterize_split_buckets,
             )
             from deblur4dgs_tpu.ops.tiling import (
                 bin_gaussians_union,
@@ -318,21 +318,17 @@ def render(
                     pack_dyn_all(projs, gi, shared[3], return_depth, dyn_tbl)
                     for gi in buckets.gather_idx
                 )  # per bucket: (S, Tb_pad, Fd, cap_b)
-
-                def subframe(carry, xs):
-                    dyn_s, radii = xs
-                    img, alpha = rasterize_split_buckets(
-                        buckets, st_list, dyn_s, background, img_wh,
-                        include_depth=return_depth, use_pallas=use_pallas,
-                    )
-                    if return_depth:
-                        dch = img[..., -1:] / jnp.maximum(
-                            alpha[..., None], 1e-10
-                        )
-                        img = jnp.concatenate([img[..., :-1], dch], axis=-1)
-                    return accumulate(carry, img, alpha, radii)
-
-                xs = (dyn_lists, projs.radii)
+                # Whole window in tile space: the exposure reductions
+                # happen per bucket; ONE inverse-permutation gather +
+                # untile per window (vs a full-grid scatter + untile per
+                # sub-frame, which cost as much as the compositor kernels).
+                window_out = composite_window_buckets(
+                    buckets, st_list, dyn_lists, background, img_wh,
+                    include_depth=return_depth,
+                    mask_channel=3 if return_mask else None,
+                    use_pallas=use_pallas,
+                )
+                subframe = xs = None
             else:
                 st_data = pack_static(
                     opacities, const_chans, shared[0], shared[3]
@@ -367,26 +363,36 @@ def render(
 
             xs = (samples.poses, samples.times, means2d_tap)
 
-        carry0 = (
-            jnp.zeros((H, W, D)),
-            jnp.zeros((H, W)),
-            jnp.full((H, W, 1), -jnp.inf),
-            jnp.full((H, W, 1), jnp.inf),
-        )
-        # Unrolled Python loop rather than lax.scan: a traced scan spends
-        # ~30% of the window's device time on carry copies and dynamic
-        # slices of the stacked inputs/outputs (profiler trace); with S
-        # static and small the unrolled form lets XLA use static slices
-        # and fuse the accumulates into the compositor outputs.
-        carry = carry0
-        ys = []
-        for s in range(S):
-            carry, y = subframe(carry, jax.tree.map(lambda x: x[s], xs))
-            ys.append(y)
-        sum_img, sum_alpha, max_mask, min_depth = carry
-        rgb_stack, alpha_stack, radii_stack = jax.tree.map(
-            lambda *a: jnp.stack(a), *ys
-        )
+        if subframe is None:
+            sum_img = window_out["sum_img"]
+            sum_alpha = window_out["sum_alpha"]
+            max_mask = window_out["max_mask"]
+            min_depth = window_out["min_depth"]
+            rgb_stack = window_out["rgb_stack"]
+            alpha_stack = window_out["alpha_stack"]
+            radii_stack = projs.radii
+        else:
+            carry0 = (
+                jnp.zeros((H, W, D)),
+                jnp.zeros((H, W)),
+                jnp.full((H, W, 1), -jnp.inf),
+                jnp.full((H, W, 1), jnp.inf),
+            )
+            # Unrolled Python loop rather than lax.scan: a traced scan
+            # spends ~30% of the window's device time on carry copies and
+            # dynamic slices of the stacked inputs/outputs (profiler
+            # trace); with S static and small the unrolled form lets XLA
+            # use static slices and fuse the accumulates into the
+            # compositor outputs.
+            carry = carry0
+            ys = []
+            for s in range(S):
+                carry, y = subframe(carry, jax.tree.map(lambda x: x[s], xs))
+                ys.append(y)
+            sum_img, sum_alpha, max_mask, min_depth = carry
+            rgb_stack, alpha_stack, radii_stack = jax.tree.map(
+                lambda *a: jnp.stack(a), *ys
+            )
 
     avg = sum_img / S
     acc = sum_alpha / S

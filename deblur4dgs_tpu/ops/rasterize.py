@@ -435,6 +435,19 @@ def untile(accum, tfin, img_wh, tiles_xy, nchan):
     return img[:H, :W], tf[:H, :W]
 
 
+def untile_cmajor(accum, tfin, img_wh, tiles_xy, nchan):
+    """Channel-major variant: (T, D, P), (T, P) -> (H, W, D), (H, W)."""
+    W, H = img_wh
+    tiles_x, tiles_y = tiles_xy
+    img = accum.reshape(tiles_y, tiles_x, nchan, TILE, TILE)
+    img = img.transpose(0, 3, 1, 4, 2).reshape(
+        tiles_y * TILE, tiles_x * TILE, nchan
+    )
+    tf = tfin.reshape(tiles_y, tiles_x, TILE, TILE)
+    tf = tf.transpose(0, 2, 1, 3).reshape(tiles_y * TILE, tiles_x * TILE)
+    return img[:H, :W], tf[:H, :W]
+
+
 def rasterize(
     proj: Projected,
     opacities: jnp.ndarray,  # (G,)
@@ -505,10 +518,35 @@ def _alpha_from_split(ddyn, op, px, py):
     return alpha, dx, dy, active
 
 
+def _col_to_row(x):
+    """(P, 1) -> (1, P) as a trivial contraction (Mosaic-legal transpose)."""
+    return jax.lax.dot_general(
+        jnp.ones((1, 1), jnp.float32), x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _row_to_col(x):
+    """(1, P) -> (P, 1) as a trivial contraction (Mosaic-legal transpose)."""
+    return jax.lax.dot_general(
+        x, jnp.ones((1, 1), jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _fwd_kernel_split(
     tile_ids_ref, counts_ref, dyn_ref, st_ref, accum_ref, tfin_ref,
     *, tiles_x, cap, nchan, depth_in_dyn,
 ):
+    """Channel-major forward: accum (TB, nchan, P), tfin (TB, P).
+
+    Output layout matters more than it looks: the pallas custom-call pins
+    its operands/results to default {2,1,0} layouts, so a (TB, P, nchan)
+    accum puts nchan on the 128-lane axis — XLA then pads every accum /
+    cotangent buffer 11 -> 128 lanes (and every (T, P, 1) transmittance
+    buffer 128x). Channel-major puts P=256 on lanes (exact fit) and nchan
+    on sublanes (pad to 8s only).
+    """
     tb = pl.program_id(0)
     n_static = nchan - (1 if depth_in_dyn else 0)
     _, u_excl = _scan_masks()
@@ -524,7 +562,7 @@ def _fwd_kernel_split(
         px = tx * TILE + (pid % TILE).astype(jnp.float32) + 0.5
         py = ty * TILE + (pid // TILE).astype(jnp.float32) + 0.5
 
-        accum_ref[bt] = jnp.zeros((P, nchan), jnp.float32)
+        accum_ref[bt] = jnp.zeros((nchan, P), jnp.float32)
 
         def body(carry, bt=bt, px=px, py=py):
             ci, Tc = carry
@@ -541,7 +579,7 @@ def _fwd_kernel_split(
             if depth_in_dyn:
                 chans = jnp.concatenate([chans, ddyn[6:7, :]], axis=0)
             accum_ref[bt] += jax.lax.dot_general(
-                w, chans, (((1,), (1,)), ((), ())),
+                chans, w, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             return ci + 1, T[:, -1:] * one_minus[:, -1:]
@@ -553,7 +591,7 @@ def _fwd_kernel_split(
         _, Tfin = jax.lax.while_loop(
             cond, body, (jnp.int32(0), jnp.ones((P, 1), jnp.float32))
         )
-        tfin_ref[bt] = Tfin
+        tfin_ref[pl.ds(bt, 1)] = _col_to_row(Tfin)
 
 
 def _bwd_kernel_split(
@@ -579,10 +617,14 @@ def _bwd_kernel_split(
         gdyn_ref[bt] = jnp.zeros_like(gdyn_ref[bt])
         gst_ref[bt] = jnp.zeros_like(gst_ref[bt])
 
-        gacc = gacc_ref[bt]
-        accum = accum_ref[bt]
-        total = jnp.sum(accum * gacc, axis=1, keepdims=True)
-        gt_term = gt_ref[bt] * tfin_ref[bt]
+        gacc = gacc_ref[bt]  # (nchan, P) channel-major
+        accum = accum_ref[bt]  # (nchan, P)
+        total = _row_to_col(
+            jnp.sum(accum * gacc, axis=0, keepdims=True)
+        )  # (P, 1)
+        gt_term = _row_to_col(
+            gt_ref[pl.ds(bt, 1)] * tfin_ref[pl.ds(bt, 1)]
+        )  # (P, 1)
 
         def body(carry, bt=bt, px=px, py=py):
             ci, Tc, prefix = carry
@@ -600,7 +642,7 @@ def _bwd_kernel_split(
             if depth_in_dyn:
                 chans = jnp.concatenate([chans, ddyn[6:7, :]], axis=0)
             s = jax.lax.dot_general(
-                gacc, chans, (((1,), (0,)), ((), ())),
+                gacc, chans, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             ws = w * s
@@ -623,7 +665,7 @@ def _bwd_kernel_split(
             g_mx = jnp.sum(-(ca * dx + cb * dy) * g_sigma, axis=0, keepdims=True)
             g_my = jnp.sum(-(cc * dy + cb * dx) * g_sigma, axis=0, keepdims=True)
             g_ch = jax.lax.dot_general(
-                gacc, w, (((0,), (0,)), ((), ())),
+                gacc, w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (nchan, CHUNK)
             g_r = jnp.zeros_like(g_op)
@@ -673,9 +715,9 @@ def _composite_fwd_split(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TB, P, nchan), lambda t, *s: (t, 0, 0),
+            pl.BlockSpec((TB, nchan, P), lambda t, *s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, P, 1), lambda t, *s: (t, 0, 0),
+            pl.BlockSpec((TB, P), lambda t, *s: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -683,8 +725,8 @@ def _composite_fwd_split(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((T, P, nchan), jnp.float32),
-            jax.ShapeDtypeStruct((T, P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((T, nchan, P), jnp.float32),
+            jax.ShapeDtypeStruct((T, P), jnp.float32),
         ],
         interpret=_interpret(),
     )(tile_ids, counts, dyn_data, st_data)
@@ -712,13 +754,13 @@ def _composite_bwd_split(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, Fs, cap), lambda t, *s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, P, nchan), lambda t, *s: (t, 0, 0),
+            pl.BlockSpec((TB, nchan, P), lambda t, *s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, P, 1), lambda t, *s: (t, 0, 0),
+            pl.BlockSpec((TB, P), lambda t, *s: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, P, nchan), lambda t, *s: (t, 0, 0),
+            pl.BlockSpec((TB, nchan, P), lambda t, *s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, P, 1), lambda t, *s: (t, 0, 0),
+            pl.BlockSpec((TB, P), lambda t, *s: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -742,7 +784,7 @@ def _composite_bwd_split(
 def _composite_split_xla(
     dyn_data, st_data, counts, tile_ids, tiles_x, nchan, depth_in_dyn
 ):
-    """XLA reference for the split compositor."""
+    """XLA reference for the split compositor (channel-major outputs)."""
     n_static = nchan - (1 if depth_in_dyn else 0)
 
     def one_tile(ddyn, dst, t):
@@ -759,8 +801,8 @@ def _composite_split_xla(
         chans = dst[1 : 1 + n_static, :]
         if depth_in_dyn:
             chans = jnp.concatenate([chans, ddyn[6:7, :]], axis=0)
-        accum = w @ chans.T
-        tfin = jnp.exp(cum[:, -1:])
+        accum = chans @ w.T  # (nchan, P)
+        tfin = jnp.exp(cum[:, -1])  # (P,)
         return accum, tfin
 
     return jax.vmap(one_tile)(dyn_data, st_data, tile_ids)
@@ -774,6 +816,8 @@ def composite_tiles_split(
 
     ``tile_ids`` maps each data row to its image tile (identity for the
     dense layout; a permutation slice for count-sorted buckets).
+    Channel-major outputs: accum (T, nchan, P), tfin (T, P) — see
+    _fwd_kernel_split for why.
     """
     return _composite_fwd_split(
         dyn_data, st_data, counts, tile_ids, tiles_x, nchan, depth_in_dyn
@@ -837,7 +881,9 @@ def rasterize_split(
         accum, tfin = _composite_split_xla(
             dyn_data, st_data, counts, tile_ids, tiles_x, nchan, include_depth
         )
-    img, tf = untile(accum[:T], tfin[:T], img_wh, (tiles_x, tiles_y), nchan)
+    img, tf = untile_cmajor(
+        accum[:T], tfin[:T], img_wh, (tiles_x, tiles_y), nchan
+    )
     img = img + tf[..., None] * background[None, None, :]
     return img, 1.0 - tf
 
@@ -862,8 +908,8 @@ def rasterize_split_buckets(
     tiles_x, tiles_y = num_tiles(img_wh)
     T = tiles_x * tiles_y
     nchan = st_list[0].shape[1] - 1 + (1 if include_depth else 0)
-    accum_full = jnp.zeros((T, P, nchan))
-    tfin_full = jnp.ones((T, P, 1))
+    accum_full = jnp.zeros((T, nchan, P))
+    tfin_full = jnp.ones((T, P))
     for st, dyn, cnt, ids, size in zip(
         st_list, dyn_list, buckets.counts, buckets.tile_ids, buckets.sizes
     ):
@@ -877,6 +923,137 @@ def rasterize_split_buckets(
             )
         accum_full = accum_full.at[ids[:size]].set(acc[:size])
         tfin_full = tfin_full.at[ids[:size]].set(tf[:size])
-    img, tf = untile(accum_full, tfin_full, img_wh, (tiles_x, tiles_y), nchan)
+    img, tf = untile_cmajor(
+        accum_full, tfin_full, img_wh, (tiles_x, tiles_y), nchan
+    )
     img = img + tf[..., None] * background[None, None, :]
     return img, 1.0 - tf
+
+
+def composite_window_buckets(
+    buckets,  # tiling.TileBuckets
+    st_list,  # per bucket: (Tb_pad, 1+Dc, cap_b) static payload
+    dyn_lists,  # per bucket: (S, Tb_pad, Fd, cap_b) per-sub-frame dyn rows
+    background: jnp.ndarray,  # (nchan,)
+    img_wh: tuple[int, int],
+    include_depth: bool,
+    mask_channel: int | None = None,
+    use_pallas: bool = True,
+):
+    """Composite a full exposure window in tile space — one untile per window.
+
+    The per-sub-frame variant (rasterize_split_buckets) scatters each
+    bucket's output into a full (T, P, nchan) grid per sub-frame — at the
+    bench shape those `.at[ids].set` scatters rewrite ~44 MB per bucket per
+    sub-frame and dominated the step (their select_n fwd+bwd cost as much
+    as the Pallas kernels). Here the exposure reductions the blur synthesis
+    needs (sum over sub-frames; max over the rendered-mask channel; min
+    over per-sub-frame expected depth — reference semantics at
+    /root/reference/flow3d/scene_model.py:389-393) are accumulated
+    *per bucket in tile space*, and only the reduced window outputs plus
+    the per-sub-frame RGB/alpha stacks go through a single
+    inverse-permutation row gather + untile.
+
+    Returns dict: sum_img (H, W, nchan) (background blended), sum_alpha
+    (H, W), max_mask (H, W, 1) | None, min_depth (H, W, 1) | None,
+    rgb_stack (S, H, W, 3) (background blended), alpha_stack (S, H, W).
+    """
+    from deblur4dgs_tpu.ops.tiling import num_tiles
+
+    tiles_x, tiles_y = num_tiles(img_wh)
+    T = tiles_x * tiles_y
+    S = dyn_lists[0].shape[0]
+    nb = len(st_list)
+    nchan = st_list[0].shape[1] - 1 + (1 if include_depth else 0)
+
+    # Everything staged in ONE wide channel axis per bucket, in the
+    # compositor's channel-major (Tb, C, P) layout (P=256 rides the
+    # 128-lane axis; channel-minor buffers would be lane-padded up to
+    # 128x). One gather + one untile reassembles the whole window.
+    # Channel layout (axis 1):
+    #   [0:nchan]             sum over sub-frames of composited channels
+    #   [nchan]               sum over sub-frames of transmittance
+    #   [+1 if mask]          max over sub-frames of the mask channel
+    #   [+1 if depth]         min over sub-frames of expected depth
+    #   [4*S]                 per-sub-frame (rgb + transmittance) slabs
+    sum_acc = [None] * nb
+    sum_tf = [None] * nb
+    max_mask = [None] * nb
+    min_dep = [None] * nb
+    rgbtf = [[None] * nb for _ in range(S)]  # per (s, bucket): (Tb, P, 4)
+    for s in range(S):
+        for b in range(nb):
+            if use_pallas:
+                acc, tf = composite_tiles_split(
+                    dyn_lists[b][s], st_list[b], buckets.counts[b],
+                    buckets.tile_ids[b], tiles_x, nchan, include_depth,
+                )
+            else:
+                acc, tf = _composite_split_xla(
+                    dyn_lists[b][s], st_list[b], buckets.counts[b],
+                    buckets.tile_ids[b], tiles_x, nchan, include_depth,
+                )
+            tf1 = tf[:, None, :]  # (Tb, 1, P)
+            sum_acc[b] = acc if s == 0 else sum_acc[b] + acc
+            sum_tf[b] = tf1 if s == 0 else sum_tf[b] + tf1
+            if mask_channel is not None:
+                m = acc[:, mask_channel : mask_channel + 1, :]
+                max_mask[b] = m if s == 0 else jnp.maximum(max_mask[b], m)
+            if include_depth:
+                # expected depth (gsplat RGB+ED): normalize by alpha
+                d = acc[:, -1:, :] / jnp.maximum(1.0 - tf1, 1e-10)
+                min_dep[b] = d if s == 0 else jnp.minimum(min_dep[b], d)
+            rgbtf[s][b] = jnp.concatenate(
+                [acc[:, :3, :] + tf1 * background[None, :3, None], tf1],
+                axis=1,
+            )
+
+    # Invert the bucket permutation once: every image tile lives in exactly
+    # one bucket row, so a single row gather restores image-tile order.
+    ids_cat = jnp.concatenate(
+        [ids[:n] for ids, n in zip(buckets.tile_ids, buckets.sizes)]
+    )
+    inv = jnp.zeros((T,), jnp.int32).at[ids_cat].set(
+        jnp.arange(T, dtype=jnp.int32)
+    )
+
+    def bucket_channels(b):
+        parts = [sum_acc[b], sum_tf[b]]
+        if mask_channel is not None:
+            parts.append(max_mask[b])
+        if include_depth:
+            parts.append(min_dep[b])
+        parts += [rgbtf[s][b] for s in range(S)]
+        n = buckets.sizes[b]
+        return jnp.concatenate([p[:n] for p in parts], axis=1)
+
+    packed = jnp.concatenate(
+        [bucket_channels(b) for b in range(nb)], axis=0
+    )[inv]  # (T, C, P)
+    C = packed.shape[1]
+    img_all, _ = untile_cmajor(
+        packed, packed[:, 0], img_wh, (tiles_x, tiles_y), C
+    )
+    H, Wd = img_all.shape[:2]
+    sum_img = (
+        img_all[..., :nchan]
+        + img_all[..., nchan : nchan + 1] * background[None, None, :]
+    )
+    out = {
+        "sum_img": sum_img,
+        "sum_alpha": float(S) - img_all[..., nchan],
+        "max_mask": None,
+        "min_depth": None,
+    }
+    off = nchan + 1
+    if mask_channel is not None:
+        out["max_mask"] = img_all[..., off : off + 1]
+        off += 1
+    if include_depth:
+        out["min_depth"] = img_all[..., off : off + 1]
+        off += 1
+
+    slab = img_all[..., off : off + 4 * S].reshape(H, Wd, S, 4)
+    out["rgb_stack"] = jnp.moveaxis(slab[..., :3], 2, 0)
+    out["alpha_stack"] = 1.0 - jnp.moveaxis(slab[..., 3], 2, 0)
+    return out
