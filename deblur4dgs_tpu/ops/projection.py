@@ -39,6 +39,36 @@ def quat_scale_to_covar(quats: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
     return M @ jnp.swapaxes(M, -1, -2)
 
 
+def _covar_cam_entries(quats, scales, R_cw):
+    """Unique entries of R_cw (R diag(s^2) R^T) R_cw^T, fully scalar-expanded.
+
+    Returns (c00, c01, c02, c11, c12, c22), each (G,). Equivalent to
+    quat_scale_to_covar + the camera-frame rotation, but with no (G, 3, 3)
+    tensors: batched 3x3 matmuls put the size-3 axes on TPU vector lanes
+    (heavy padding + relayout copies — this line was ~8% of a train step);
+    elementwise formulas fuse into one VPU pass.
+    """
+    w, x, y, z = (quats[:, i] for i in range(4))
+    r = (
+        1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (w * y + x * z),
+        2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+        2 * (x * z - w * y), 2 * (w * x + y * z), 1 - 2 * (x * x + y * y),
+    )
+    s2 = (scales[:, 0] ** 2, scales[:, 1] ** 2, scales[:, 2] ** 2)
+
+    # A = R_cw @ R_gauss: A[i][k] = sum_m R_cw[i, m] r[m*3+k]; R_cw entries
+    # are scalars, so each A entry is a 3-term elementwise combination.
+    A = [
+        sum(R_cw[i, m] * r[m * 3 + k] for m in range(3)) for i in range(3)
+        for k in range(3)
+    ]
+
+    def cc(i, j):
+        return sum(s2[k] * A[i * 3 + k] * A[j * 3 + k] for k in range(3))
+
+    return cc(0, 0), cc(0, 1), cc(0, 2), cc(1, 1), cc(1, 2), cc(2, 2)
+
+
 def project(
     means: jnp.ndarray,  # (G, 3) world
     quats: jnp.ndarray,  # (G, 4) wxyz (normalized by caller or here)
@@ -62,9 +92,8 @@ def project(
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
 
-    # 3D covariance in camera frame.
-    covar_w = quat_scale_to_covar(quats, scales)  # (G, 3, 3)
-    covar_c = R_cw @ covar_w @ R_cw.T  # broadcasted (G, 3, 3)
+    # 3D covariance in camera frame (scalar-expanded; see _covar_cam_entries).
+    c00, c01, c02, c11, c12, c22 = _covar_cam_entries(quats, scales, R_cw)
 
     # Perspective Jacobian at FOV-clamped point (gsplat's 1.3 * tan(fov/2)).
     tan_fovx = 0.5 * W / fx
@@ -78,8 +107,6 @@ def project(
     rz2 = rz * rz
     # J = [[fx/z, 0, -fx tx/z^2], [0, fy/z, -fy ty/z^2]]
     # cov2d = J covar_c J^T, expanded explicitly (avoids (G,2,3) matmuls).
-    c00, c01, c02 = covar_c[:, 0, 0], covar_c[:, 0, 1], covar_c[:, 0, 2]
-    c11, c12, c22 = covar_c[:, 1, 1], covar_c[:, 1, 2], covar_c[:, 2, 2]
     jx = fx * rz
     jy = fy * rz
     jxz = -fx * tx * rz2

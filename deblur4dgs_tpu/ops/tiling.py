@@ -172,62 +172,9 @@ def bin_gaussians_pairs(
     tx1 = jnp.clip(jnp.floor((mx + r) / TILE), 0, tiles_x - 1).astype(jnp.int32)
     ty0 = jnp.clip(jnp.floor((my - r) / TILE), 0, tiles_y - 1).astype(jnp.int32)
     ty1 = jnp.clip(jnp.floor((my + r) / TILE), 0, tiles_y - 1).astype(jnp.int32)
-    w_span = tx1 - tx0 + 1
-    h_span = ty1 - ty0 + 1
-
-    # Spans larger than MT tiles are shrunk to an MT-bounded window
-    # centered on the gaussian (not truncated row-major, which would drop
-    # whole bottom rows asymmetrically).
-    w_eff = jnp.minimum(w_span, MT)
-    h_eff = jnp.minimum(h_span, jnp.maximum(MT // jnp.maximum(w_eff, 1), 1))
-    txc = jnp.clip((mx / TILE).astype(jnp.int32), 0, tiles_x - 1)
-    tyc = jnp.clip((my / TILE).astype(jnp.int32), 0, tiles_y - 1)
-    tx0e = jnp.clip(txc - w_eff // 2, tx0, tx1 - w_eff + 1)
-    ty0e = jnp.clip(tyc - h_eff // 2, ty0, ty1 - h_eff + 1)
-
-    j = jnp.arange(MT, dtype=jnp.int32)[None, :]  # (1, MT)
-    row = j // w_eff[:, None]
-    col = j % w_eff[:, None]
-    in_span = (j < (w_eff * h_eff)[:, None]) & valid[:, None]
-    tile_id = jnp.where(
-        in_span, (ty0e[:, None] + row) * tiles_x + (tx0e[:, None] + col), T
-    )  # (G, MT); T = sentinel "no tile"
-
-    rank = jnp.broadcast_to(
-        jnp.arange(G, dtype=jnp.int32)[:, None], (G, MT)
+    gather_idx, counts, raw = _pairs_to_lists(
+        tx0, tx1, ty0, ty1, mx, my, valid, G, T, tiles_x, tiles_y, MT, cap
     )
-    tile_flat = tile_id.reshape(-1)
-    rank_flat = rank.reshape(-1)
-    if (T + 1) * (G + 1) < 2**31:
-        # Fused single int32 key (tile major, depth-rank minor): one
-        # payload-free sort, ~2x faster than the 2-key lexicographic sort
-        # (the sort dominates binning time at scale).
-        key = tile_flat * (G + 1) + rank_flat
-        key_sorted = jax.lax.sort(key)
-        tile_sorted = key_sorted // (G + 1)
-        rank_sorted = key_sorted - tile_sorted * (G + 1)
-    else:
-        # Stable 2-key sort: primary tile_id, secondary rank (depth order).
-        tile_sorted, rank_sorted = jax.lax.sort(
-            (tile_flat, rank_flat), num_keys=2
-        )
-
-    # Segment starts per tile; position of each pair within its tile.
-    starts = jnp.searchsorted(tile_sorted, jnp.arange(T + 1, dtype=jnp.int32))
-    E = tile_flat.shape[0]
-    pos = jnp.arange(E, dtype=jnp.int32) - starts[
-        jnp.clip(tile_sorted, 0, T)
-    ]
-    ok = (tile_sorted < T) & (pos < cap)
-    scatter_tile = jnp.where(ok, tile_sorted, T)
-    scatter_pos = jnp.where(ok, pos, 0)
-
-    gather_idx = jnp.full((T + 1, cap), G, jnp.int32)
-    gather_idx = gather_idx.at[scatter_tile, scatter_pos].set(
-        rank_sorted, mode="drop"
-    )[:T]
-    raw = (starts[1:] - starts[:-1])[:T].astype(jnp.int32)
-    counts = jnp.minimum(raw, cap)
     return gather_idx, counts, raw, order
 
 
@@ -307,19 +254,33 @@ def _pairs_to_lists(tx0, tx1, ty0, ty1, cx, cy, valid, G, T, tiles_x,
     rank = jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32)[:, None], (G, MT))
     tile_flat = tile_id.reshape(-1)
     rank_flat = rank.reshape(-1)
-    if (T + 1) * (G + 1) < 2**31:
-        key = tile_flat * (G + 1) + rank_flat
+    E = tile_flat.shape[0]
+    idx = jnp.arange(E, dtype=jnp.int32)
+    # Fused single int32 key (tile major, depth-rank minor): one
+    # payload-free sort instead of a 2-key lexicographic sort (the sort
+    # dominates binning time at scale). The rank multiplier is the next
+    # power of two so unpacking is a shift + mask, not int division
+    # (divides by a non-power-of-2 cost several ms at pair scale).
+    rank_bits = int(G).bit_length()
+    if (T + 1) << rank_bits < 2**31:
+        key = (tile_flat << rank_bits) | rank_flat
         key_sorted = jax.lax.sort(key)
-        tile_sorted = key_sorted // (G + 1)
-        rank_sorted = key_sorted - tile_sorted * (G + 1)
+        tile_sorted = key_sorted >> rank_bits
+        rank_sorted = key_sorted & ((1 << rank_bits) - 1)
     else:
         tile_sorted, rank_sorted = jax.lax.sort(
             (tile_flat, rank_flat), num_keys=2
         )
 
     starts = jnp.searchsorted(tile_sorted, jnp.arange(T + 1, dtype=jnp.int32))
-    E = tile_flat.shape[0]
-    pos = jnp.arange(E, dtype=jnp.int32) - starts[jnp.clip(tile_sorted, 0, T)]
+    # Position of each pair within its tile run: subtract the running
+    # maximum of run-start indices (a cummax costs a few log-depth passes;
+    # gathering starts[tile_sorted] pays a slow per-element row gather).
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), tile_sorted[1:] != tile_sorted[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    pos = idx - run_start
     ok = (tile_sorted < T) & (pos < cap)
     scatter_tile = jnp.where(ok, tile_sorted, T)
     scatter_pos = jnp.where(ok, pos, 0)

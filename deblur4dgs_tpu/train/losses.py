@@ -104,16 +104,39 @@ def _gaussian_window(size=11, sigma=1.5):
     return g / g.sum()
 
 
-def _blur(img, win):
-    """Separable gaussian filter, valid padding. img: (H, W, C)."""
+def _blur_matrix(n, win):
+    """(n - size + 1, n) banded matrix applying `win` with VALID padding.
+
+    `win` is static, so XLA constant-folds the whole matrix at compile
+    time.
+    """
     size = win.shape[0]
-    x = img.transpose(2, 0, 1)[:, None]  # (C, 1, H, W)
-    kx = win.reshape(1, 1, 1, size)
-    ky = win.reshape(1, 1, size, 1)
-    dn = jax.lax.conv_dimension_numbers(x.shape, kx.shape, ("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(x, kx, (1, 1), "VALID", dimension_numbers=dn)
-    x = jax.lax.conv_general_dilated(x, ky, (1, 1), "VALID", dimension_numbers=dn)
-    return x[:, 0].transpose(1, 2, 0)  # (H', W', C)
+    m = n - size + 1
+    rows = jnp.arange(m, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(n, dtype=jnp.int32)[None, :]
+    k = cols - rows
+    return jnp.where(
+        (k >= 0) & (k < size), win[jnp.clip(k, 0, size - 1)], 0.0
+    )
+
+
+def _blur(img, win):
+    """Separable gaussian filter, valid padding. img: (H, W, C).
+
+    Implemented as two banded-matrix matmuls instead of 1-feature
+    convolutions: single-channel conv_general_dilated leaves the MXU idle
+    and cost ~5% of a 720p train step; dense (H', H) x (H, W*C) matmuls
+    ride the MXU (the zeros are free — it's bandwidth-bound either way).
+    """
+    H, W, C = img.shape
+    bh = _blur_matrix(H, win)
+    bw = _blur_matrix(W, win)
+    hi = jnp.einsum(
+        "yh,hwc->ywc", bh, img, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.einsum(
+        "ywc,vw->yvc", hi, bw, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def ssim(img1, img2, data_range=1.0, win_size=11, sigma=1.5, K1=0.01, K2=0.03):
@@ -121,12 +144,19 @@ def ssim(img1, img2, data_range=1.0, win_size=11, sigma=1.5, K1=0.01, K2=0.03):
     win = _gaussian_window(win_size, sigma)
     C1 = (K1 * data_range) ** 2
     C2 = (K2 * data_range) ** 2
-    mu1 = _blur(img1, win)
-    mu2 = _blur(img2, win)
+    # One fused blur over [i1, i2, i1^2, i2^2, i1*i2] stacked on channels.
+    stats = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=-1
+    )
+    C = img1.shape[-1]
+    blurred = _blur(stats, win)
+    mu1, mu2, e11, e22, e12 = (
+        blurred[..., i * C : (i + 1) * C] for i in range(5)
+    )
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = _blur(img1 * img1, win) - mu1_sq
-    s2 = _blur(img2 * img2, win) - mu2_sq
-    s12 = _blur(img1 * img2, win) - mu12
+    s1 = e11 - mu1_sq
+    s2 = e22 - mu2_sq
+    s12 = e12 - mu12
     cs = (2 * s12 + C2) / (s1 + s2 + C2)
     m = ((2 * mu12 + C1) / (mu1_sq + mu2_sq + C1)) * cs
     return jnp.mean(m)
