@@ -281,6 +281,7 @@ def render(
                 default_bucket_spec,
                 num_tiles,
                 pack_dyn_all,
+                pack_dyn_fused,
                 pack_static,
                 packed_dyn_table,
                 packed_static_table,
@@ -315,9 +316,9 @@ def render(
                     for gi in buckets.gather_idx
                 )
                 dyn_lists = tuple(
-                    pack_dyn_all(projs, gi, shared[3], return_depth, dyn_tbl)
+                    pack_dyn_fused(projs, gi, shared[3], return_depth, dyn_tbl)
                     for gi in buckets.gather_idx
-                )  # per bucket: (S, Tb_pad, Fd, cap_b)
+                )  # per bucket: (Tb_pad, S, Fd, cap_b) fused-kernel layout
                 # Whole window in tile space: the exposure reductions
                 # happen per bucket; ONE inverse-permutation gather +
                 # untile per window (vs a full-grid scatter + untile per

@@ -930,10 +930,381 @@ def rasterize_split_buckets(
     return img, 1.0 - tf
 
 
+# ---------------------------------------------------------------------------
+# Sub-frame-fused window compositor: one kernel sweep composites ALL S
+# exposure sub-frames of a tile. The chunk loop (tile-list slicing, loop
+# control, static-payload loads, pixel-grid setup) runs once per window
+# instead of once per sub-frame — at bench shapes that overhead was ~60% of
+# the per-sub-frame kernels' time, and the fused sweep measures ~2.3x
+# faster than S separate sweeps (scripts/tpu_fused_proto.py).
+# ---------------------------------------------------------------------------
+
+
+def _window_tb(cap: int, bwd: bool) -> int:
+    """Tiles per block for the fused kernels.
+
+    Bounded two ways: tb*S*Fd*cap block bytes (HBM->VMEM pipeline buffers),
+    and the per-tile unrolled kernel body's scratch — each tile's chunk
+    loop holds cap-independent (P, CHUNK) intermediates on the scoped-VMEM
+    stack (~1.5 MB forward, ~5 MB backward per unrolled tile against the
+    16 MB limit), so the backward runs at most 2 tiles per block.
+    """
+    bound = 4 if bwd else TILE_BLOCK
+    return max(1, min(bound, 2048 // cap))
+
+
+# The backward body's scoped-VMEM stack grows with the number of unrolled
+# sub-frame iterations (Mosaic keeps their intermediates live); cap the
+# sub-frames handled per kernel invocation and sum the shared static-payload
+# gradients across invocations.
+BWD_S_SPLIT = 6
+
+
+def _fwd_kernel_window(
+    tile_ids_ref, counts_ref, dyn_ref, st_ref, accum_ref, tfin_ref,
+    *, tiles_x, cap, nchan, depth_in_dyn, ns, tb_rows,
+):
+    """dyn (TB, S, Fd, cap) -> accum (TB, S, nchan, P), tfin (TB, S, P)."""
+    n_static = nchan - (1 if depth_in_dyn else 0)
+    _, u_excl = _scan_masks()
+    tb = pl.program_id(0)
+    for bt in range(tb_rows):
+        tpos = tb * tb_rows + bt
+        count = counts_ref[tpos]
+        t = tile_ids_ref[tpos]
+        nchunks = pl.cdiv(count, CHUNK)
+
+        tx = (t % tiles_x).astype(jnp.float32)
+        ty = (t // tiles_x).astype(jnp.float32)
+        pid = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+        px = tx * TILE + (pid % TILE).astype(jnp.float32) + 0.5
+        py = ty * TILE + (pid // TILE).astype(jnp.float32) + 0.5
+
+        for s in range(ns):
+            accum_ref[bt, s] = jnp.zeros((nchan, P), jnp.float32)
+
+        # Carries packed as (P, ns) — one tuple of (P, 1) carries per
+        # sub-frame costs a full 128-lane tile layout each (128 KB) and
+        # blows the scoped-VMEM stack at ns=11.
+        def body(carry, bt=bt, px=px, py=py):
+            ci, Ts = carry
+            off = pl.multiple_of(ci * CHUNK, CHUNK)
+            dst = st_ref[bt, :, pl.ds(off, CHUNK)]
+            op = dst[0:1, :]
+            st_chans = dst[1 : 1 + n_static, :]
+            new_Ts = []
+            for s in range(ns):
+                ddyn = dyn_ref[bt, s, :, pl.ds(off, CHUNK)]
+                alpha, _, _, _ = _alpha_from_split(ddyn, op, px, py)
+                one_minus = 1.0 - alpha
+                ex = _transmittance(alpha, u_excl)
+                T = Ts[:, s : s + 1] * ex
+                w = alpha * T
+                chans = st_chans
+                if depth_in_dyn:
+                    chans = jnp.concatenate([chans, ddyn[6:7, :]], axis=0)
+                accum_ref[bt, s] += jax.lax.dot_general(
+                    chans, w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                new_Ts.append(T[:, -1:] * one_minus[:, -1:])
+            return ci + 1, jnp.concatenate(new_Ts, axis=1)
+
+        def cond(carry):
+            ci, Ts = carry
+            return (ci < nchunks) & (jnp.max(Ts) >= EARLY_STOP_T)
+
+        init = (jnp.int32(0), jnp.ones((P, ns), jnp.float32))
+        _, Ts = jax.lax.while_loop(cond, body, init)
+        for s in range(ns):
+            tfin_ref[bt, pl.ds(s, 1)] = _col_to_row(Ts[:, s : s + 1])
+
+
+def _bwd_kernel_window(
+    tile_ids_ref, counts_ref, dyn_ref, st_ref, accum_ref, tfin_ref,
+    gacc_ref, gt_ref, gdyn_ref, gst_ref,
+    *, tiles_x, cap, nchan, depth_in_dyn, ns, tb_rows,
+):
+    n_static = nchan - (1 if depth_in_dyn else 0)
+    u_incl, u_excl = _scan_masks()
+    tb = pl.program_id(0)
+    for bt in range(tb_rows):
+        tpos = tb * tb_rows + bt
+        count = counts_ref[tpos]
+        t = tile_ids_ref[tpos]
+        nchunks = pl.cdiv(count, CHUNK)
+
+        tx = (t % tiles_x).astype(jnp.float32)
+        ty = (t // tiles_x).astype(jnp.float32)
+        pid = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+        px = tx * TILE + (pid % TILE).astype(jnp.float32) + 0.5
+        py = ty * TILE + (pid // TILE).astype(jnp.float32) + 0.5
+
+        gdyn_ref[bt] = jnp.zeros_like(gdyn_ref[bt])
+        gst_ref[bt] = jnp.zeros_like(gst_ref[bt])
+
+        # totals / gt_terms / carries packed as (P, ns) — see _fwd_kernel_window
+        totals = jnp.concatenate(
+            [
+                _row_to_col(jnp.sum(
+                    accum_ref[bt, s] * gacc_ref[bt, s], axis=0, keepdims=True
+                ))
+                for s in range(ns)
+            ],
+            axis=1,
+        )
+        gt_terms = jnp.concatenate(
+            [
+                _row_to_col(
+                    gt_ref[bt, pl.ds(s, 1)] * tfin_ref[bt, pl.ds(s, 1)]
+                )
+                for s in range(ns)
+            ],
+            axis=1,
+        )
+
+        def body(carry, bt=bt, px=px, py=py, totals=totals, gt_terms=gt_terms):
+            ci, Ts, prefixes = carry
+            off = pl.multiple_of(ci * CHUNK, CHUNK)
+            dst = st_ref[bt, :, pl.ds(off, CHUNK)]
+            op = dst[0:1, :]
+            st_chans = dst[1 : 1 + n_static, :]
+            new_Ts = []
+            new_prefixes = []
+            gst_acc = None
+            for s in range(ns):
+                ddyn = dyn_ref[bt, s, :, pl.ds(off, CHUNK)]
+                alpha, dx, dy, active = _alpha_from_split(ddyn, op, px, py)
+                one_minus = 1.0 - alpha
+                ex = _transmittance(alpha, u_excl)
+                T = Ts[:, s : s + 1] * ex
+                w = alpha * T
+
+                chans = st_chans
+                if depth_in_dyn:
+                    chans = jnp.concatenate([chans, ddyn[6:7, :]], axis=0)
+                gacc = gacc_ref[bt, s]  # (nchan, P)
+                sdot = jax.lax.dot_general(
+                    gacc, chans, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (P, CHUNK)
+                ws = w * sdot
+                prefix_incl = prefixes[:, s : s + 1] + _mm_scan(ws, u_incl)
+                suffix = totals[:, s : s + 1] - prefix_incl
+                g_alpha = (
+                    T * sdot
+                    - (suffix + gt_terms[:, s : s + 1]) / one_minus
+                )
+                g_alpha = jnp.where(active, g_alpha, 0.0)
+
+                ca = ddyn[2:3, :]
+                cb = ddyn[3:4, :]
+                cc = ddyn[4:5, :]
+                g_sigma = -alpha * g_alpha
+                g_op = jnp.sum(
+                    jnp.where(
+                        active, alpha / jnp.maximum(op, 1e-12) * g_alpha, 0.0
+                    ),
+                    axis=0, keepdims=True,
+                )
+                g_ca = jnp.sum(0.5 * dx * dx * g_sigma, axis=0, keepdims=True)
+                g_cb = jnp.sum(dx * dy * g_sigma, axis=0, keepdims=True)
+                g_cc = jnp.sum(0.5 * dy * dy * g_sigma, axis=0, keepdims=True)
+                g_mx = jnp.sum(
+                    -(ca * dx + cb * dy) * g_sigma, axis=0, keepdims=True
+                )
+                g_my = jnp.sum(
+                    -(cc * dy + cb * dx) * g_sigma, axis=0, keepdims=True
+                )
+                g_ch = jax.lax.dot_general(
+                    gacc, w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (nchan, CHUNK)
+                g_r = jnp.zeros_like(g_op)
+                dyn_rows = [g_mx, g_my, g_ca, g_cb, g_cc, g_r]
+                if depth_in_dyn:
+                    dyn_rows.append(g_ch[n_static : n_static + 1, :])
+                gdyn_ref[bt, s, :, pl.ds(off, CHUNK)] = jnp.concatenate(
+                    dyn_rows, 0
+                )
+                st_rows = jnp.concatenate([g_op, g_ch[:n_static, :]], 0)
+                gst_acc = st_rows if gst_acc is None else gst_acc + st_rows
+                new_Ts.append(T[:, -1:] * one_minus[:, -1:])
+                new_prefixes.append(prefix_incl[:, -1:])
+            gst_ref[bt, :, pl.ds(off, CHUNK)] = gst_acc
+            return (
+                ci + 1,
+                jnp.concatenate(new_Ts, axis=1),
+                jnp.concatenate(new_prefixes, axis=1),
+            )
+
+        def cond(carry):
+            ci, Ts, _ = carry
+            return (ci < nchunks) & (jnp.max(Ts) >= EARLY_STOP_T)
+
+        init = (
+            jnp.int32(0),
+            jnp.ones((P, ns), jnp.float32),
+            jnp.zeros((P, ns), jnp.float32),
+        )
+        jax.lax.while_loop(cond, body, init)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tiles_x", "nchan", "depth_in_dyn")
+)
+def _composite_fwd_window(
+    dyn_data, st_data, counts, tile_ids, tiles_x, nchan, depth_in_dyn
+):
+    T, S, Fd, cap = dyn_data.shape
+    Fs = st_data.shape[1]
+    TB = _window_tb(cap, bwd=False)
+    assert T % TB == 0, "tile rows must be padded to a TILE_BLOCK multiple"
+    kernel = functools.partial(
+        _fwd_kernel_window, tiles_x=tiles_x, cap=cap, nchan=nchan,
+        depth_in_dyn=depth_in_dyn, ns=S, tb_rows=TB,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, S, Fd, cap), lambda t, *s: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, Fs, cap), lambda t, *s: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, S, nchan, P), lambda t, *s: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, S, P), lambda t, *s: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, S, nchan, P), jnp.float32),
+            jax.ShapeDtypeStruct((T, S, P), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(tile_ids, counts, dyn_data, st_data)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tiles_x", "nchan", "depth_in_dyn")
+)
+def _composite_bwd_window(
+    dyn_data, st_data, counts, tile_ids, accum, tfin, gacc, gt, tiles_x,
+    nchan, depth_in_dyn,
+):
+    T, S, Fd, cap = dyn_data.shape
+    if S > BWD_S_SPLIT:
+        h = (S + 1) // 2
+        gdyn1, gst1 = _composite_bwd_window(
+            dyn_data[:, :h], st_data, counts, tile_ids, accum[:, :h],
+            tfin[:, :h], gacc[:, :h], gt[:, :h], tiles_x, nchan, depth_in_dyn,
+        )
+        gdyn2, gst2 = _composite_bwd_window(
+            dyn_data[:, h:], st_data, counts, tile_ids, accum[:, h:],
+            tfin[:, h:], gacc[:, h:], gt[:, h:], tiles_x, nchan, depth_in_dyn,
+        )
+        return jnp.concatenate([gdyn1, gdyn2], axis=1), gst1 + gst2
+    Fs = st_data.shape[1]
+    TB = _window_tb(cap, bwd=True)
+    kernel = functools.partial(
+        _bwd_kernel_window, tiles_x=tiles_x, cap=cap, nchan=nchan,
+        depth_in_dyn=depth_in_dyn, ns=S, tb_rows=TB,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, S, Fd, cap), lambda t, *s: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, Fs, cap), lambda t, *s: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, S, nchan, P), lambda t, *s: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, S, P), lambda t, *s: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, S, nchan, P), lambda t, *s: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, S, P), lambda t, *s: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, S, Fd, cap), lambda t, *s: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, Fs, cap), lambda t, *s: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, S, Fd, cap), jnp.float32),
+            jax.ShapeDtypeStruct((T, Fs, cap), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(tile_ids, counts, dyn_data, st_data, accum, tfin, gacc, gt)
+
+
+def _composite_window_xla(
+    dyn_data, st_data, counts, tile_ids, tiles_x, nchan, depth_in_dyn
+):
+    """XLA reference for the fused-window kernels (vmap over sub-frames)."""
+
+    def one_s(dyn_s):
+        return _composite_split_xla(
+            dyn_s, st_data, counts, tile_ids, tiles_x, nchan, depth_in_dyn
+        )
+
+    accum, tfin = jax.vmap(one_s, in_axes=1, out_axes=1)(dyn_data)
+    return accum, tfin
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def composite_tiles_window(
+    dyn_data, st_data, counts, tile_ids, tiles_x, nchan, depth_in_dyn
+):
+    """Fused exposure-window compositor with custom VJP (Pallas fwd/bwd).
+
+    dyn_data (T, S, Fd, cap) carries every sub-frame's screen rows; the
+    static payload st_data (T, 1+Dc, cap) is shared across the window.
+    Outputs: accum (T, S, nchan, P), tfin (T, S, P). The static-payload
+    gradient is accumulated over sub-frames inside the backward kernel.
+    """
+    return _composite_fwd_window(
+        dyn_data, st_data, counts, tile_ids, tiles_x, nchan, depth_in_dyn
+    )
+
+
+def _ctw_fwd(dyn_data, st_data, counts, tile_ids, tiles_x, nchan, depth_in_dyn):
+    accum, tfin = _composite_fwd_window(
+        dyn_data, st_data, counts, tile_ids, tiles_x, nchan, depth_in_dyn
+    )
+    return (accum, tfin), (dyn_data, st_data, counts, tile_ids, accum, tfin)
+
+
+def _ctw_bwd(tiles_x, nchan, depth_in_dyn, res, cts):
+    dyn_data, st_data, counts, tile_ids, accum, tfin = res
+    gacc, gt = cts
+    gdyn, gst = _composite_bwd_window(
+        dyn_data, st_data, counts, tile_ids, accum, tfin, gacc, gt, tiles_x,
+        nchan, depth_in_dyn,
+    )
+    return gdyn, gst, None, None
+
+
+composite_tiles_window.defvjp(_ctw_fwd, _ctw_bwd)
+
+
 def composite_window_buckets(
     buckets,  # tiling.TileBuckets
     st_list,  # per bucket: (Tb_pad, 1+Dc, cap_b) static payload
-    dyn_lists,  # per bucket: (S, Tb_pad, Fd, cap_b) per-sub-frame dyn rows
+    dyn_lists,  # per bucket: (Tb_pad, S, Fd, cap_b) fused-layout dyn rows
     background: jnp.ndarray,  # (nchan,)
     img_wh: tuple[int, int],
     include_depth: bool,
@@ -946,13 +1317,14 @@ def composite_window_buckets(
     bucket's output into a full (T, P, nchan) grid per sub-frame — at the
     bench shape those `.at[ids].set` scatters rewrite ~44 MB per bucket per
     sub-frame and dominated the step (their select_n fwd+bwd cost as much
-    as the Pallas kernels). Here the exposure reductions the blur synthesis
-    needs (sum over sub-frames; max over the rendered-mask channel; min
-    over per-sub-frame expected depth — reference semantics at
-    /root/reference/flow3d/scene_model.py:389-393) are accumulated
-    *per bucket in tile space*, and only the reduced window outputs plus
-    the per-sub-frame RGB/alpha stacks go through a single
-    inverse-permutation row gather + untile.
+    as the Pallas kernels). Here every bucket runs ONE fused kernel sweep
+    covering all S sub-frames (composite_tiles_window), the exposure
+    reductions the blur synthesis needs (sum over sub-frames; max over the
+    rendered-mask channel; min over per-sub-frame expected depth —
+    reference semantics at /root/reference/flow3d/scene_model.py:389-393)
+    are taken over the kernel's (Tb, S, nchan, P) outputs in tile space,
+    and only the reduced window outputs plus the per-sub-frame RGB/alpha
+    stacks go through a single inverse-permutation row gather + untile.
 
     Returns dict: sum_img (H, W, nchan) (background blended), sum_alpha
     (H, W), max_mask (H, W, 1) | None, min_depth (H, W, 1) | None,
@@ -962,7 +1334,7 @@ def composite_window_buckets(
 
     tiles_x, tiles_y = num_tiles(img_wh)
     T = tiles_x * tiles_y
-    S = dyn_lists[0].shape[0]
+    S = dyn_lists[0].shape[1]
     nb = len(st_list)
     nchan = st_list[0].shape[1] - 1 + (1 if include_depth else 0)
 
@@ -980,33 +1352,36 @@ def composite_window_buckets(
     sum_tf = [None] * nb
     max_mask = [None] * nb
     min_dep = [None] * nb
-    rgbtf = [[None] * nb for _ in range(S)]  # per (s, bucket): (Tb, P, 4)
-    for s in range(S):
-        for b in range(nb):
-            if use_pallas:
-                acc, tf = composite_tiles_split(
-                    dyn_lists[b][s], st_list[b], buckets.counts[b],
-                    buckets.tile_ids[b], tiles_x, nchan, include_depth,
-                )
-            else:
-                acc, tf = _composite_split_xla(
-                    dyn_lists[b][s], st_list[b], buckets.counts[b],
-                    buckets.tile_ids[b], tiles_x, nchan, include_depth,
-                )
-            tf1 = tf[:, None, :]  # (Tb, 1, P)
-            sum_acc[b] = acc if s == 0 else sum_acc[b] + acc
-            sum_tf[b] = tf1 if s == 0 else sum_tf[b] + tf1
-            if mask_channel is not None:
-                m = acc[:, mask_channel : mask_channel + 1, :]
-                max_mask[b] = m if s == 0 else jnp.maximum(max_mask[b], m)
-            if include_depth:
-                # expected depth (gsplat RGB+ED): normalize by alpha
-                d = acc[:, -1:, :] / jnp.maximum(1.0 - tf1, 1e-10)
-                min_dep[b] = d if s == 0 else jnp.minimum(min_dep[b], d)
-            rgbtf[s][b] = jnp.concatenate(
-                [acc[:, :3, :] + tf1 * background[None, :3, None], tf1],
-                axis=1,
+    rgbtf = [[None] * nb for _ in range(S)]  # per (s, bucket): (Tb, 4, P)
+    for b in range(nb):
+        if use_pallas:
+            acc, tf = composite_tiles_window(
+                dyn_lists[b], st_list[b], buckets.counts[b],
+                buckets.tile_ids[b], tiles_x, nchan, include_depth,
             )
+        else:
+            acc, tf = _composite_window_xla(
+                dyn_lists[b], st_list[b], buckets.counts[b],
+                buckets.tile_ids[b], tiles_x, nchan, include_depth,
+            )
+        # acc (Tb, S, nchan, P), tf (Tb, S, P)
+        tf1 = tf[:, :, None, :]  # (Tb, S, 1, P)
+        sum_acc[b] = jnp.sum(acc, axis=1)
+        sum_tf[b] = jnp.sum(tf1, axis=1)
+        if mask_channel is not None:
+            max_mask[b] = jnp.max(
+                acc[:, :, mask_channel : mask_channel + 1, :], axis=1
+            )
+        if include_depth:
+            # expected depth (gsplat RGB+ED): normalize by alpha
+            d = acc[:, :, -1:, :] / jnp.maximum(1.0 - tf1, 1e-10)
+            min_dep[b] = jnp.min(d, axis=1)
+        rgbtf_b = jnp.concatenate(
+            [acc[:, :, :3, :] + tf1 * background[None, None, :3, None], tf1],
+            axis=2,
+        )  # (Tb, S, 4, P)
+        for s in range(S):
+            rgbtf[s][b] = rgbtf_b[:, s]
 
     # Invert the bucket permutation once: every image tile lives in exactly
     # one bucket row, so a single row gather restores image-tile order.

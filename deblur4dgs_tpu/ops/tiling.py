@@ -536,6 +536,33 @@ def pack_dyn_all(
     return out.reshape(Tp, cap, S, Fd).transpose(2, 0, 3, 1)
 
 
+def pack_dyn_fused(
+    projs: Projected,  # arrays with leading sub-frame axis (S, G, ...)
+    gather_idx: jnp.ndarray,
+    order: jnp.ndarray,
+    include_depth: bool,
+    packed: jnp.ndarray | None = None,  # precomputed packed_dyn_table
+) -> jnp.ndarray:
+    """(Tp, S, 6(+1), CAP): pack_dyn_all in the fused-window kernel layout.
+
+    Same single wide gather; the sub-frame axis lands *inside* the tile axis
+    so the fused compositor kernel (rasterize.composite_tiles_window) can
+    stream one (S, Fd, cap) block per tile.
+    """
+    S, G = projs.depths.shape
+    Tp = gather_idx.shape[0]
+    cap = gather_idx.shape[1]
+    gather_idx, _, _ = _pad_lists(
+        gather_idx, jnp.zeros((Tp,), jnp.int32), jnp.zeros((Tp,), jnp.int32), G
+    )
+    Tp = gather_idx.shape[0]
+    if packed is None:
+        packed = packed_dyn_table(projs, order, include_depth)
+    Fd = packed.shape[-1] // S
+    out = packed[gather_idx]  # (Tp, CAP, S*Fd)
+    return out.reshape(Tp, cap, S, Fd).transpose(0, 2, 3, 1)
+
+
 def pack_and_gather(
     proj: Projected,
     opacities: jnp.ndarray,  # (G,)
