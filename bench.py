@@ -144,7 +144,7 @@ def main():
 
     times = []
     losses = []
-    for _ in range(5):
+    for i in range(14):
         t0 = time.time()
         state, loss, _ = step(state, epoch, None, batch, tracks, None, None)
         # Synchronize via a scalar readback: on the axon backend
@@ -152,7 +152,8 @@ def main():
         # host transfer is the only reliable fence.
         losses.append(float(loss))
         jax.block_until_ready(state)
-        times.append(time.time() - t0)
+        if i >= 2:  # skip post-compile warmup steps
+            times.append(time.time() - t0)
     dt = float(np.median(times))
 
     # sanity: the scene must still render non-trivially after the steps
@@ -176,7 +177,9 @@ def main():
         )
     )
     print(
-        f"# step {dt*1e3:.1f} ms, compile {compile_s:.0f}s, loss {float(loss):.4f}",
+        f"# step median {dt*1e3:.1f} ms (min {min(times)*1e3:.1f}, "
+        f"max {max(times)*1e3:.1f}), compile {compile_s:.0f}s, "
+        f"loss {float(loss):.4f}",
         file=sys.stderr,
     )
 

@@ -281,8 +281,8 @@ def render(
                 default_bucket_spec,
                 num_tiles,
                 pack_dyn_all,
-                pack_dyn_fused,
                 pack_static,
+                pack_window_fused,
                 packed_dyn_table,
                 packed_static_table,
             )
@@ -307,18 +307,22 @@ def render(
                 buckets = bucket_tiles(
                     shared[0], shared[1], shared[2], N, spec
                 )
-                st_tbl = packed_static_table(
-                    opacities, const_chans, shared[3]
+                # Combined dyn+static payload table: ONE gather per bucket
+                # (and one backward scatter-add) instead of two.
+                tbl = jnp.concatenate(
+                    [
+                        packed_dyn_table(projs, shared[3], return_depth),
+                        packed_static_table(opacities, const_chans, shared[3]),
+                    ],
+                    axis=1,
                 )
-                dyn_tbl = packed_dyn_table(projs, shared[3], return_depth)
-                st_list = tuple(
-                    pack_static(opacities, const_chans, gi, shared[3], st_tbl)
+                Fd = 7 if return_depth else 6
+                packed_lists = tuple(
+                    pack_window_fused(gi, tbl, S, Fd)
                     for gi in buckets.gather_idx
                 )
-                dyn_lists = tuple(
-                    pack_dyn_fused(projs, gi, shared[3], return_depth, dyn_tbl)
-                    for gi in buckets.gather_idx
-                )  # per bucket: (Tb_pad, S, Fd, cap_b) fused-kernel layout
+                dyn_lists = tuple(p[0] for p in packed_lists)
+                st_list = tuple(p[1] for p in packed_lists)
                 # Whole window in tile space: the exposure reductions
                 # happen per bucket; ONE inverse-permutation gather +
                 # untile per window (vs a full-grid scatter + untile per

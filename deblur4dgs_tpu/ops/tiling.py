@@ -563,6 +563,31 @@ def pack_dyn_fused(
     return out.reshape(Tp, cap, S, Fd).transpose(0, 2, 3, 1)
 
 
+def pack_window_fused(
+    gather_idx: jnp.ndarray,  # (Tb, cap_b) one bucket's tile lists
+    table: jnp.ndarray,  # (G+1, S*Fd + 1 + Dc) combined dyn+static table
+    S: int,
+    Fd: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """ONE row gather per bucket -> (dyn (Tb, S, Fd, cap), st (Tb, Fs, cap)).
+
+    The dyn and static payload tables are concatenated so each bucket costs
+    a single row gather in the forward and a single scatter-add in the
+    backward — separate narrow gathers (especially the 1+Dc-lane static
+    one) pay per-slot random-access overhead twice.
+    """
+    G = table.shape[0] - 1
+    gather_idx, _, _ = _pad_lists(
+        gather_idx, jnp.zeros((gather_idx.shape[0],), jnp.int32),
+        jnp.zeros((gather_idx.shape[0],), jnp.int32), G,
+    )
+    Tp, cap = gather_idx.shape
+    out = table[gather_idx]  # (Tp, cap, S*Fd + Fs)
+    dyn = out[..., : S * Fd].reshape(Tp, cap, S, Fd).transpose(0, 2, 3, 1)
+    st = jnp.swapaxes(out[..., S * Fd :], -1, -2)
+    return dyn, st
+
+
 def pack_and_gather(
     proj: Projected,
     opacities: jnp.ndarray,  # (G,)
