@@ -277,7 +277,8 @@ def render(
             )
             from deblur4dgs_tpu.ops.tiling import (
                 bin_gaussians_union,
-                bucket_tiles,
+                bin_gaussians_union_runs,
+                bucket_tiles_from_runs,
                 default_bucket_spec,
                 num_tiles,
                 pack_dyn_all,
@@ -290,7 +291,6 @@ def render(
             projs = jax.vmap(project_subframe)(
                 samples.poses, samples.times, means2d_tap
             )
-            shared = bin_gaussians_union(projs, img_wh, cap)
             tiles_x, tiles_y = num_tiles(img_wh)
             # Bucketing's rank-dependent capacities assume the skewed
             # occupancy distribution of real images; on tiny images (unit
@@ -302,17 +302,22 @@ def render(
                 # Count-sorted tile buckets: heavy tiles get full capacity,
                 # the tail a fraction — pack gathers, gradient scatters,
                 # and kernel DMA all pay per slot, and the dense layout is
-                # ~80% sentinel slots at realistic occupancies.
+                # ~80% sentinel slots at realistic occupancies. The lists
+                # come straight from the binning sort's runs; the dense
+                # (T, CAP) table (a pair-scale scatter) is never built.
+                rank_sorted, starts, _, raw, order = bin_gaussians_union_runs(
+                    projs, img_wh, cap
+                )
                 spec = default_bucket_spec(tiles_x * tiles_y, cap)
-                buckets = bucket_tiles(
-                    shared[0], shared[1], shared[2], N, spec
+                buckets = bucket_tiles_from_runs(
+                    rank_sorted, starts, raw, N, spec
                 )
                 # Combined dyn+static payload table: ONE gather per bucket
                 # (and one backward scatter-add) instead of two.
                 tbl = jnp.concatenate(
                     [
-                        packed_dyn_table(projs, shared[3], return_depth),
-                        packed_static_table(opacities, const_chans, shared[3]),
+                        packed_dyn_table(projs, order, return_depth),
+                        packed_static_table(opacities, const_chans, order),
                     ],
                     axis=1,
                 )
@@ -335,6 +340,7 @@ def render(
                 )
                 subframe = xs = None
             else:
+                shared = bin_gaussians_union(projs, img_wh, cap)
                 st_data = pack_static(
                     opacities, const_chans, shared[0], shared[3]
                 )

@@ -231,9 +231,14 @@ def bin_gaussians_union(
     ) + (order,)
 
 
-def _pairs_to_lists(tx0, tx1, ty0, ty1, cx, cy, valid, G, T, tiles_x,
-                    tiles_y, MT, cap):
-    """Shared tail of pair-expansion binning: emit pairs, sort, scatter."""
+def _pairs_to_runs(tx0, tx1, ty0, ty1, cx, cy, valid, G, T, tiles_x,
+                   tiles_y, MT, cap):
+    """Pair-expansion binning up to sorted runs.
+
+    Returns (rank_sorted (E,), starts (T+1,), counts (T,), raw (T,)): tile
+    t's depth-ordered gaussian list is rank_sorted[starts[t] :
+    starts[t]+raw[t]] (entries are indices into the depth-sorted order).
+    """
     w_span = tx1 - tx0 + 1
     h_span = ty1 - ty0 + 1
     w_eff = jnp.minimum(w_span, MT)
@@ -254,8 +259,6 @@ def _pairs_to_lists(tx0, tx1, ty0, ty1, cx, cy, valid, G, T, tiles_x,
     rank = jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32)[:, None], (G, MT))
     tile_flat = tile_id.reshape(-1)
     rank_flat = rank.reshape(-1)
-    E = tile_flat.shape[0]
-    idx = jnp.arange(E, dtype=jnp.int32)
     # Fused single int32 key (tile major, depth-rank minor): one
     # payload-free sort instead of a 2-key lexicographic sort (the sort
     # dominates binning time at scale). The rank multiplier is the next
@@ -272,10 +275,29 @@ def _pairs_to_lists(tx0, tx1, ty0, ty1, cx, cy, valid, G, T, tiles_x,
             (tile_flat, rank_flat), num_keys=2
         )
 
+    # The sort groups pairs by tile with depth order preserved, so tile t's
+    # list is the contiguous run rank_sorted[starts[t] : starts[t]+raw[t]].
     starts = jnp.searchsorted(tile_sorted, jnp.arange(T + 1, dtype=jnp.int32))
-    # Position of each pair within its tile run: subtract the running
-    # maximum of run-start indices (a cummax costs a few log-depth passes;
-    # gathering starts[tile_sorted] pays a slow per-element row gather).
+    raw = (starts[1:] - starts[:-1])[:T].astype(jnp.int32)
+    counts = jnp.minimum(raw, cap)
+    return rank_sorted, tile_sorted, starts, counts, raw
+
+
+def _pairs_to_lists(tx0, tx1, ty0, ty1, cx, cy, valid, G, T, tiles_x,
+                    tiles_y, MT, cap):
+    """Shared tail of pair-expansion binning: emit pairs, sort, scatter.
+
+    Materializes the dense (T, CAP) lists with a scatter keyed by
+    within-run position (running maximum of run-start indices). Callers
+    that only need per-bucket lists should read them straight from the
+    runs (bucket_tiles_from_runs) — a full-table gather/scatter at pair
+    scale is the most expensive single op of a train step.
+    """
+    rank_sorted, tile_sorted, starts, counts, raw = _pairs_to_runs(
+        tx0, tx1, ty0, ty1, cx, cy, valid, G, T, tiles_x, tiles_y, MT, cap
+    )
+    E = tile_sorted.shape[0]
+    idx = jnp.arange(E, dtype=jnp.int32)
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), tile_sorted[1:] != tile_sorted[:-1]]
     )
@@ -288,8 +310,6 @@ def _pairs_to_lists(tx0, tx1, ty0, ty1, cx, cy, valid, G, T, tiles_x,
     gather_idx = gather_idx.at[scatter_tile, scatter_pos].set(
         rank_sorted, mode="drop"
     )[:T]
-    raw = (starts[1:] - starts[:-1])[:T].astype(jnp.int32)
-    counts = jnp.minimum(raw, cap)
     return gather_idx, counts, raw
 
 
@@ -366,6 +386,96 @@ def bucket_tiles(
         pad = Tb - n
         gi = gather_idx[ids, :c]
         cnt = jnp.minimum(counts[ids], c)
+        if pad:
+            ids = jnp.concatenate([ids, jnp.zeros((pad,), jnp.int32)])
+            cnt = jnp.concatenate([cnt, jnp.zeros((pad,), jnp.int32)])
+            gi = jnp.concatenate([gi, jnp.full((pad, c), G, jnp.int32)])
+        ids_l.append(ids)
+        cnt_l.append(cnt)
+        gi_l.append(gi)
+        caps.append(c)
+        sizes.append(n)
+    return TileBuckets(
+        tuple(ids_l), tuple(cnt_l), tuple(gi_l), tuple(caps), tuple(sizes)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("img_wh", "cap", "max_tiles_per_gauss")
+)
+def bin_gaussians_union_runs(
+    projs: Projected,  # arrays with a leading sub-frame axis (S, G, ...)
+    img_wh: tuple[int, int],
+    cap: int = 512,
+    max_tiles_per_gauss: int = 32,
+):
+    """bin_gaussians_union without materializing the dense (T, CAP) table.
+
+    Returns (rank_sorted, starts, counts, raw, order); feed to
+    bucket_tiles_from_runs. The dense table costs a pair-scale scatter
+    (the most expensive op of a train step) that the bucketed compositor
+    path never needs.
+    """
+    S, G = projs.depths.shape
+    MT = max_tiles_per_gauss
+    tiles_x, tiles_y = num_tiles(img_wh)
+    T = tiles_x * tiles_y
+
+    valid_any = projs.valid.any(axis=0)
+    inf = jnp.inf
+    mx0 = jnp.min(jnp.where(projs.valid, projs.means2d[..., 0] - projs.radii, inf), 0)
+    mx1 = jnp.max(jnp.where(projs.valid, projs.means2d[..., 0] + projs.radii, -inf), 0)
+    my0 = jnp.min(jnp.where(projs.valid, projs.means2d[..., 1] - projs.radii, inf), 0)
+    my1 = jnp.max(jnp.where(projs.valid, projs.means2d[..., 1] + projs.radii, -inf), 0)
+    depth_key = jnp.min(jnp.where(projs.valid, projs.depths, inf), 0)
+
+    key = jnp.where(valid_any, depth_key, jnp.inf)
+    order = jnp.argsort(key, stable=True)
+    x0 = mx0[order]
+    x1 = mx1[order]
+    y0 = my0[order]
+    y1 = my1[order]
+    valid = valid_any[order]
+
+    tx0 = jnp.clip(jnp.floor(x0 / TILE), 0, tiles_x - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor(x1 / TILE), 0, tiles_x - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor(y0 / TILE), 0, tiles_y - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor(y1 / TILE), 0, tiles_y - 1).astype(jnp.int32)
+    cx = 0.5 * (x0 + x1)
+    cy = 0.5 * (y0 + y1)
+    rank_sorted, _, starts, counts, raw = _pairs_to_runs(
+        tx0, tx1, ty0, ty1, cx, cy, valid, G, T, tiles_x, tiles_y, MT, cap
+    )
+    return rank_sorted, starts, counts, raw, order
+
+
+def bucket_tiles_from_runs(
+    rank_sorted: jnp.ndarray,  # (E,)
+    starts: jnp.ndarray,  # (T+1,)
+    raw_counts: jnp.ndarray,  # (T,)
+    G: int,
+    spec,  # ((n_tiles, cap), ...) static, sizes summing to T
+) -> TileBuckets:
+    """bucket_tiles reading each bucket's lists straight from sorted runs.
+
+    Replaces [dense (T, CAP) scatter + per-bucket row gather] with one
+    (Tb, cap_b) gather per bucket at its own capacity — ~3x fewer gathered
+    slots and no pair-scale scatter.
+    """
+    T = raw_counts.shape[0]
+    E = rank_sorted.shape[0]
+    order_t = jnp.argsort(-raw_counts).astype(jnp.int32)
+    ids_l, cnt_l, gi_l, caps, sizes = [], [], [], [], []
+    start = 0
+    for n, c in spec:
+        ids = jax.lax.slice_in_dim(order_t, start, start + n)
+        start += n
+        Tb = pad_tiles(n)
+        pad = Tb - n
+        lane = jnp.arange(c, dtype=jnp.int32)[None, :]
+        src = jnp.minimum(starts[ids][:, None] + lane, E - 1)
+        gi = jnp.where(lane < raw_counts[ids][:, None], rank_sorted[src], G)
+        cnt = jnp.minimum(raw_counts[ids], c)
         if pad:
             ids = jnp.concatenate([ids, jnp.zeros((pad,), jnp.int32)])
             cnt = jnp.concatenate([cnt, jnp.zeros((pad,), jnp.int32)])
