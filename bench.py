@@ -37,7 +37,7 @@ NUM_EXPOSURE = 11
 TILE_CAP = 1024
 
 
-def build():
+def build(tile_mesh=None):
     from deblur4dgs_tpu.configs import (
         LossesConfig,
         OptimizerConfig,
@@ -98,6 +98,7 @@ def build():
     step = make_train_step(
         make_optimizer(scene, lr, ocfg), lcfg, rcfg, "second", T,
         has_static=False, has_dynamic=True, has_reg=False,
+        tile_mesh=tile_mesh,
     )
 
     f = 1000.0

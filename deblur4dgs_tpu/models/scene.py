@@ -141,6 +141,8 @@ def render(
     subframe_sharding=None,  # jax Sharding for the S axis => vmap+GSPMD path
     shared_exposure_binning: bool = True,  # one binning sort per window
     bucketed: bool = True,  # count-sorted tile buckets (shared path only)
+    tile_mesh=None,  # jax Mesh => shard_map the compositor over image tiles
+    tile_axis: str = "tile",
 ) -> dict:
     assert not (fg_only and bg_only)
     W, H = img_wh
@@ -276,6 +278,7 @@ def render(
                 rasterize_split,
             )
             from deblur4dgs_tpu.ops.tiling import (
+                TILE_BLOCK,
                 bin_gaussians_union,
                 bin_gaussians_union_runs,
                 bucket_tiles_from_runs,
@@ -309,8 +312,14 @@ def render(
                     projs, img_wh, cap
                 )
                 spec = default_bucket_spec(tiles_x * tiles_y, cap)
+                # Tile-sharded compositing needs every bucket's rows to
+                # split evenly across the mesh (and each shard's rows to
+                # stay TILE_BLOCK-aligned for the kernel grid).
+                pad_mult = TILE_BLOCK * (
+                    tile_mesh.shape[tile_axis] if tile_mesh is not None else 1
+                )
                 buckets = bucket_tiles_from_runs(
-                    rank_sorted, starts, raw, N, spec
+                    rank_sorted, starts, raw, N, spec, pad_multiple=pad_mult
                 )
                 # Combined dyn+static payload table: ONE gather per bucket
                 # (and one backward scatter-add) instead of two.
@@ -337,6 +346,7 @@ def render(
                     include_depth=return_depth,
                     mask_channel=3 if return_mask else None,
                     use_pallas=use_pallas,
+                    tile_mesh=tile_mesh, tile_axis=tile_axis,
                 )
                 subframe = xs = None
             else:

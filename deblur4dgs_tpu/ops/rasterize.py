@@ -1301,6 +1301,36 @@ def _ctw_bwd(tiles_x, nchan, depth_in_dyn, res, cts):
 composite_tiles_window.defvjp(_ctw_fwd, _ctw_bwd)
 
 
+def composite_tiles_window_sharded(
+    dyn_data, st_data, counts, tile_ids, tiles_x, nchan, depth_in_dyn,
+    tile_mesh, tile_axis="tile",
+):
+    """composite_tiles_window shard_mapped over the tile axis.
+
+    GSPMD cannot partition an opaque custom call, so multi-chip tile
+    parallelism (SURVEY.md §5: shard image tiles across devices, gaussians
+    replicated) wraps the kernel in shard_map: each device composites its
+    block of tile rows; everything around the kernel stays GSPMD-auto.
+    Requires every leading dim divisible by the mesh axis size (pad bucket
+    tile rows with tiling.pad_tiles(..., multiple=n_devices*TILE_BLOCK)).
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    spec = PS(tile_axis)
+
+    def fn(d, s, c, i):
+        return composite_tiles_window(
+            d, s, c, i, tiles_x, nchan, depth_in_dyn
+        )
+
+    return jax.shard_map(
+        fn, mesh=tile_mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=(spec, spec),
+        check_vma=False,
+    )(dyn_data, st_data, counts, tile_ids)
+
+
 def composite_window_buckets(
     buckets,  # tiling.TileBuckets
     st_list,  # per bucket: (Tb_pad, 1+Dc, cap_b) static payload
@@ -1310,6 +1340,8 @@ def composite_window_buckets(
     include_depth: bool,
     mask_channel: int | None = None,
     use_pallas: bool = True,
+    tile_mesh=None,
+    tile_axis: str = "tile",
 ):
     """Composite a full exposure window in tile space — one untile per window.
 
@@ -1354,7 +1386,13 @@ def composite_window_buckets(
     min_dep = [None] * nb
     rgbtf = [[None] * nb for _ in range(S)]  # per (s, bucket): (Tb, 4, P)
     for b in range(nb):
-        if use_pallas:
+        if tile_mesh is not None:
+            acc, tf = composite_tiles_window_sharded(
+                dyn_lists[b], st_list[b], buckets.counts[b],
+                buckets.tile_ids[b], tiles_x, nchan, include_depth,
+                tile_mesh, tile_axis,
+            )
+        elif use_pallas:
             acc, tf = composite_tiles_window(
                 dyn_lists[b], st_list[b], buckets.counts[b],
                 buckets.tile_ids[b], tiles_x, nchan, include_depth,

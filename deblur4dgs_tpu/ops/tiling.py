@@ -34,8 +34,8 @@ TILE = 16  # pixels per tile side; P = TILE*TILE = 256 pixels per tile
 TILE_BLOCK = 8
 
 
-def pad_tiles(n: int) -> int:
-    return -(-n // TILE_BLOCK) * TILE_BLOCK
+def pad_tiles(n: int, multiple: int = TILE_BLOCK) -> int:
+    return -(-n // multiple) * multiple
 
 # Packed feature layout along F (sublane) axis of tile_data:
 #   0: mean2d.x   1: mean2d.y   2: conic.a   3: conic.b   4: conic.c
@@ -455,6 +455,7 @@ def bucket_tiles_from_runs(
     raw_counts: jnp.ndarray,  # (T,)
     G: int,
     spec,  # ((n_tiles, cap), ...) static, sizes summing to T
+    pad_multiple: int = TILE_BLOCK,  # n_devices*TILE_BLOCK when tile-sharded
 ) -> TileBuckets:
     """bucket_tiles reading each bucket's lists straight from sorted runs.
 
@@ -470,7 +471,7 @@ def bucket_tiles_from_runs(
     for n, c in spec:
         ids = jax.lax.slice_in_dim(order_t, start, start + n)
         start += n
-        Tb = pad_tiles(n)
+        Tb = pad_tiles(n, pad_multiple)
         pad = Tb - n
         lane = jnp.arange(c, dtype=jnp.int32)[None, :]
         src = jnp.minimum(starts[ids][:, None] + lane, E - 1)

@@ -135,6 +135,7 @@ def compute_static_losses(
     rcfg: RenderConfig,
     stage: str,
     subframe_sharding=None,
+    tile_mesh=None,
 ):
     """Static branch (trainer.py:276-434): bg-only blurry renders.
 
@@ -153,6 +154,7 @@ def compute_static_losses(
             use_pallas=rcfg.use_pallas, means2d_tap=tap,
             bucketed=rcfg.bucketed,
             subframe_sharding=subframe_sharding,
+            tile_mesh=tile_mesh,
         )
         keep = {
             "img": out["img"],
@@ -233,6 +235,7 @@ def compute_dynamic_losses(
     batch4_imgs: jnp.ndarray | None = None,  # (1, H/4, W/4, 3) multires guide
     flow_fn=None,
     subframe_sharding=None,
+    tile_mesh=None,
 ):
     """Dynamic branch (trainer.py:436-793): full blurry render + tracks."""
     B, H, W = batch.imgs.shape[:3]
@@ -250,6 +253,7 @@ def compute_dynamic_losses(
         use_pallas=rcfg.use_pallas, means2d_tap=taps[0],
         bucketed=rcfg.bucketed,
         subframe_sharding=subframe_sharding,
+        tile_mesh=tile_mesh,
     )
 
     masks = (batch.masks * batch.valid_masks)[0]  # (H, W)
@@ -443,6 +447,7 @@ def make_train_step(
     has_batch4: bool = False,
     flow_fn=None,
     subframe_sharding=None,
+    tile_mesh=None,
 ):
     """Build the jitted train step for one (stage, branch-combination).
 
@@ -483,6 +488,7 @@ def make_train_step(
                 l, a = compute_static_losses(
                     scene, batch_static, taps["static"], lcfg, rcfg, stage,
                     subframe_sharding=subframe_sharding,
+                    tile_mesh=tile_mesh,
                 )
                 total = total + l
                 aux["static"] = a
@@ -493,12 +499,15 @@ def make_train_step(
                     batch4_imgs=batch4_imgs if has_batch4 else None,
                     flow_fn=flow_fn,
                     subframe_sharding=subframe_sharding,
+                    tile_mesh=tile_mesh,
                 )
                 total = total + l
                 aux["dynamic"] = a
             if has_reg:
                 l, a = compute_static_reg_losses(
-                    scene, batch_reg, taps["reg"], lcfg, rcfg, stage
+                    scene, batch_reg, taps["reg"], lcfg, rcfg, stage,
+                    subframe_sharding=subframe_sharding,
+                    tile_mesh=tile_mesh,
                 )
                 total = total + l
                 aux["reg"] = a
@@ -553,6 +562,7 @@ def compute_static_reg_losses(
     rcfg: RenderConfig,
     stage: str,
     subframe_sharding=None,
+    tile_mesh=None,
 ):
     """Static-reg branch (trainer.py:795-920): bg-only MID render vs the
     stage-1 deblurred outputs, stabilizing bg during stage 2."""
@@ -568,6 +578,8 @@ def compute_static_reg_losses(
             num_exposure=rcfg.num_exposure, cap=rcfg.tile_cap,
             use_pallas=rcfg.use_pallas, means2d_tap=tap,
             bucketed=rcfg.bucketed,
+            subframe_sharding=subframe_sharding,
+            tile_mesh=tile_mesh,
         )
         return carry, {"img": out["img"], "radii": out["radii"]}
 
