@@ -143,6 +143,7 @@ def render(
     bucketed: bool = True,  # count-sorted tile buckets (shared path only)
     tile_mesh=None,  # jax Mesh => shard_map the compositor over image tiles
     tile_axis: str = "tile",
+    return_exposure_stack: bool = True,  # per-sub-frame rgb/alpha stacks
 ) -> dict:
     assert not (fg_only and bg_only)
     W, H = img_wh
@@ -347,6 +348,7 @@ def render(
                     mask_channel=3 if return_mask else None,
                     use_pallas=use_pallas,
                     tile_mesh=tile_mesh, tile_axis=tile_axis,
+                    stack_subframes=return_exposure_stack,
                 )
                 subframe = xs = None
             else:
@@ -434,8 +436,11 @@ def render(
     out["delta_t"] = samples.delta_t
     out["poses"] = samples.poses
     out["times"] = samples.times
-    out["pred_sharp_img"] = rgb_stack[S // 2]
-    out["exposure_imgs"] = rgb_stack
-    out["exposure_alphas"] = alpha_stack
+    # rgb_stack holds all S sub-frames, or just the mid one when the
+    # exposure stacks were skipped (return_exposure_stack=False).
+    full_stack = rgb_stack.shape[0] == S
+    out["pred_sharp_img"] = rgb_stack[S // 2 if full_stack else 0]
+    out["exposure_imgs"] = rgb_stack if return_exposure_stack else None
+    out["exposure_alphas"] = alpha_stack if return_exposure_stack else None
     out["radii"] = radii_stack  # (S, N) per-sub-frame screen radii
     return out

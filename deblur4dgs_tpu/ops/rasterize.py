@@ -1342,6 +1342,7 @@ def composite_window_buckets(
     use_pallas: bool = True,
     tile_mesh=None,
     tile_axis: str = "tile",
+    stack_subframes: bool = True,
 ):
     """Composite a full exposure window in tile space — one untile per window.
 
@@ -1379,12 +1380,16 @@ def composite_window_buckets(
     #   [nchan]               sum over sub-frames of transmittance
     #   [+1 if mask]          max over sub-frames of the mask channel
     #   [+1 if depth]         min over sub-frames of expected depth
-    #   [4*S]                 per-sub-frame (rgb + transmittance) slabs
+    #   [4*S']                per-sub-frame (rgb + transmittance) slabs —
+    #                         all S sub-frames, or only the mid one when
+    #                         stack_subframes=False (the stacks feed only
+    #                         the exposure-consistency loss + sharp output)
+    s_keep = list(range(S)) if stack_subframes else [S // 2]
     sum_acc = [None] * nb
     sum_tf = [None] * nb
     max_mask = [None] * nb
     min_dep = [None] * nb
-    rgbtf = [[None] * nb for _ in range(S)]  # per (s, bucket): (Tb, 4, P)
+    rgbtf = [[None] * nb for _ in s_keep]  # per (kept s, bucket): (Tb, 4, P)
     for b in range(nb):
         if tile_mesh is not None:
             acc, tf = composite_tiles_window_sharded(
@@ -1414,12 +1419,18 @@ def composite_window_buckets(
             # expected depth (gsplat RGB+ED): normalize by alpha
             d = acc[:, :, -1:, :] / jnp.maximum(1.0 - tf1, 1e-10)
             min_dep[b] = jnp.min(d, axis=1)
+        acc_k = acc[:, jnp.array(s_keep)] if len(s_keep) != S else acc
+        tf1_k = tf1[:, jnp.array(s_keep)] if len(s_keep) != S else tf1
         rgbtf_b = jnp.concatenate(
-            [acc[:, :, :3, :] + tf1 * background[None, None, :3, None], tf1],
+            [
+                acc_k[:, :, :3, :]
+                + tf1_k * background[None, None, :3, None],
+                tf1_k,
+            ],
             axis=2,
-        )  # (Tb, S, 4, P)
-        for s in range(S):
-            rgbtf[s][b] = rgbtf_b[:, s]
+        )  # (Tb, S', 4, P)
+        for si in range(len(s_keep)):
+            rgbtf[si][b] = rgbtf_b[:, si]
 
     # Invert the bucket permutation once: every image tile lives in exactly
     # one bucket row, so a single row gather restores image-tile order.
@@ -1436,7 +1447,7 @@ def composite_window_buckets(
             parts.append(max_mask[b])
         if include_depth:
             parts.append(min_dep[b])
-        parts += [rgbtf[s][b] for s in range(S)]
+        parts += [rgbtf[si][b] for si in range(len(s_keep))]
         n = buckets.sizes[b]
         return jnp.concatenate([p[:n] for p in parts], axis=1)
 
@@ -1466,7 +1477,8 @@ def composite_window_buckets(
         out["min_depth"] = img_all[..., off : off + 1]
         off += 1
 
-    slab = img_all[..., off : off + 4 * S].reshape(H, Wd, S, 4)
+    Sk = len(s_keep)
+    slab = img_all[..., off : off + 4 * Sk].reshape(H, Wd, Sk, 4)
     out["rgb_stack"] = jnp.moveaxis(slab[..., :3], 2, 0)
     out["alpha_stack"] = 1.0 - jnp.moveaxis(slab[..., 3], 2, 0)
     return out

@@ -155,6 +155,7 @@ def compute_static_losses(
             bucketed=rcfg.bucketed,
             subframe_sharding=subframe_sharding,
             tile_mesh=tile_mesh,
+            return_exposure_stack=False,
         )
         keep = {
             "img": out["img"],
@@ -254,6 +255,7 @@ def compute_dynamic_losses(
         bucketed=rcfg.bucketed,
         subframe_sharding=subframe_sharding,
         tile_mesh=tile_mesh,
+        return_exposure_stack=flow_fn is not None,
     )
 
     masks = (batch.masks * batch.valid_masks)[0]  # (H, W)
