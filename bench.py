@@ -145,7 +145,7 @@ def main():
 
     times = []
     losses = []
-    for i in range(14):
+    for i in range(6):
         t0 = time.time()
         state, loss, _ = step(state, epoch, None, batch, tracks, None, None)
         # Synchronize via a scalar readback: on the axon backend
@@ -155,7 +155,18 @@ def main():
         jax.block_until_ready(state)
         if i >= 2:  # skip post-compile warmup steps
             times.append(time.time() - t0)
-    dt = float(np.median(times))
+    dt_sync = float(np.median(times))
+
+    # Sustained throughput: chain steps with ONE readback at the end, the
+    # way the real training loop runs (it logs every N steps, not every
+    # step) — a per-step host sync pays the remote-dispatch round trip
+    # (~60 ms through the axon tunnel) that training never pays.
+    N_SUSTAINED = 10
+    t0 = time.time()
+    for _ in range(N_SUSTAINED):
+        state, loss, _ = step(state, epoch, None, batch, tracks, None, None)
+    losses.append(float(loss))
+    dt = (time.time() - t0) / N_SUSTAINED
 
     # sanity: the scene must still render non-trivially after the steps
     means = state.scene.fg.means
@@ -178,8 +189,9 @@ def main():
         )
     )
     print(
-        f"# step median {dt*1e3:.1f} ms (min {min(times)*1e3:.1f}, "
-        f"max {max(times)*1e3:.1f}), compile {compile_s:.0f}s, "
+        f"# sustained step {dt*1e3:.1f} ms; synced step median "
+        f"{dt_sync*1e3:.1f} ms (min {min(times)*1e3:.1f}, "
+        f"max {max(times)*1e3:.1f}); compile {compile_s:.0f}s, "
         f"loss {float(loss):.4f}",
         file=sys.stderr,
     )

@@ -108,7 +108,7 @@ class TrainLoop:
         self.epoch = 0
         self.only_fg = not has_static
         self.rng = random.Random(seed)
-        self.losses: list[float] = []
+        self.losses: list = []  # device scalars; coerce via float() lazily
         self._rays_per_sec = 0.0
 
         self.step_fn = make_train_step(
@@ -125,12 +125,20 @@ class TrainLoop:
             self.state, jnp.asarray(self.epoch), batch_static, batch_dyn,
             tracks, batch_reg, batch4_imgs,
         )
-        loss = float(loss)
+        # Keep the loss on device: a float() here forces a host round trip
+        # every step (~60 ms through a remote-device tunnel, and a pipeline
+        # bubble everywhere). It is read back only at log cadence — the
+        # NaN check (reference trainer.py:226-230) moves there too.
         self.losses.append(loss)
         self.global_step += 1
 
         self._maybe_control()
         if self.writer is not None and self.global_step % self.log_every == 0:
+            loss = float(loss)
+            if not np.isfinite(loss):
+                raise FloatingPointError(
+                    f"non-finite loss {loss} at step {self.global_step}"
+                )
             self._log(loss, aux, time.time() - tic,
                       batch_static or batch_dyn or batch_reg)
         if (
