@@ -956,7 +956,9 @@ def _window_tb(cap: int, bwd: bool) -> int:
 # The backward body's scoped-VMEM stack grows with the number of unrolled
 # sub-frame iterations (Mosaic keeps their intermediates live); cap the
 # sub-frames handled per kernel invocation and sum the shared static-payload
-# gradients across invocations.
+# gradients across invocations. Only used by the legacy S-split backward
+# (_composite_bwd_window_ssplit); the default backward runs a (tiles, S)
+# grid instead and has no such limit.
 BWD_S_SPLIT = 6
 
 
@@ -1191,6 +1193,123 @@ def _composite_fwd_window(
     )(tile_ids, counts, dyn_data, st_data)
 
 
+def _bwd_kernel_window_sgrid(
+    tile_ids_ref, counts_ref, dyn_ref, st_ref, accum_ref, tfin_ref,
+    gacc_ref, gt_ref, gdyn_ref, gst_ref,
+    *, tiles_x, cap, nchan, depth_in_dyn, tb_rows,
+):
+    """One (tile-block, sub-frame) grid step of the window backward.
+
+    Blocks carry a single sub-frame (dyn/accum/tfin/gacc/gt sliced to
+    S-extent 1 by the BlockSpecs); the shared static payload and its
+    gradient are indexed by the tile axis only, so the st block stays
+    VMEM-resident across the inner S grid sweep and gst accumulates in its
+    output block across sub-frames (flushed when the tile block advances).
+    """
+    n_static = nchan - (1 if depth_in_dyn else 0)
+    u_incl, u_excl = _scan_masks()
+    tb = pl.program_id(0)
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _init():
+        gst_ref[...] = jnp.zeros_like(gst_ref[...])
+
+    for bt in range(tb_rows):
+        tpos = tb * tb_rows + bt
+        count = counts_ref[tpos]
+        t = tile_ids_ref[tpos]
+        nchunks = pl.cdiv(count, CHUNK)
+
+        tx = (t % tiles_x).astype(jnp.float32)
+        ty = (t // tiles_x).astype(jnp.float32)
+        pid = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+        px = tx * TILE + (pid % TILE).astype(jnp.float32) + 0.5
+        py = ty * TILE + (pid // TILE).astype(jnp.float32) + 0.5
+
+        gdyn_ref[bt] = jnp.zeros_like(gdyn_ref[bt])
+
+        gacc = gacc_ref[bt, 0]  # (nchan, P)
+        accum = accum_ref[bt, 0]  # (nchan, P)
+        total = _row_to_col(
+            jnp.sum(accum * gacc, axis=0, keepdims=True)
+        )  # (P, 1)
+        gt_term = _row_to_col(gt_ref[bt, 0] * tfin_ref[bt, 0])  # (P, 1)
+
+        def body(carry, bt=bt, px=px, py=py, gacc=gacc,
+                 total=total, gt_term=gt_term):
+            ci, Tc, prefix = carry
+            off = pl.multiple_of(ci * CHUNK, CHUNK)
+            ddyn = dyn_ref[bt, 0, :, pl.ds(off, CHUNK)]
+            dst = st_ref[bt, :, pl.ds(off, CHUNK)]
+            op = dst[0:1, :]
+            alpha, dx, dy, active = _alpha_from_split(ddyn, op, px, py)
+            one_minus = 1.0 - alpha
+            ex = _transmittance(alpha, u_excl)
+            T = Tc * ex
+            w = alpha * T
+
+            chans = dst[1 : 1 + n_static, :]
+            if depth_in_dyn:
+                chans = jnp.concatenate([chans, ddyn[6:7, :]], axis=0)
+            sdot = jax.lax.dot_general(
+                gacc, chans, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (P, CHUNK)
+            ws = w * sdot
+            prefix_incl = prefix + _mm_scan(ws, u_incl)
+            suffix = total - prefix_incl
+            g_alpha = T * sdot - (suffix + gt_term) / one_minus
+            g_alpha = jnp.where(active, g_alpha, 0.0)
+
+            ca = ddyn[2:3, :]
+            cb = ddyn[3:4, :]
+            cc = ddyn[4:5, :]
+            g_sigma = -alpha * g_alpha
+            g_op = jnp.sum(
+                jnp.where(
+                    active, alpha / jnp.maximum(op, 1e-12) * g_alpha, 0.0
+                ),
+                axis=0, keepdims=True,
+            )
+            g_ca = jnp.sum(0.5 * dx * dx * g_sigma, axis=0, keepdims=True)
+            g_cb = jnp.sum(dx * dy * g_sigma, axis=0, keepdims=True)
+            g_cc = jnp.sum(0.5 * dy * dy * g_sigma, axis=0, keepdims=True)
+            g_mx = jnp.sum(
+                -(ca * dx + cb * dy) * g_sigma, axis=0, keepdims=True
+            )
+            g_my = jnp.sum(
+                -(cc * dy + cb * dx) * g_sigma, axis=0, keepdims=True
+            )
+            g_ch = jax.lax.dot_general(
+                gacc, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (nchan, CHUNK)
+            g_r = jnp.zeros_like(g_op)
+            dyn_rows = [g_mx, g_my, g_ca, g_cb, g_cc, g_r]
+            if depth_in_dyn:
+                dyn_rows.append(g_ch[n_static : n_static + 1, :])
+            gdyn_ref[bt, 0, :, pl.ds(off, CHUNK)] = jnp.concatenate(
+                dyn_rows, 0
+            )
+            st_rows = jnp.concatenate([g_op, g_ch[:n_static, :]], 0)
+            gst_ref[bt, :, pl.ds(off, CHUNK)] += st_rows
+            return ci + 1, T[:, -1:] * one_minus[:, -1:], prefix_incl[:, -1:]
+
+        def cond(carry):
+            ci, Tc, _ = carry
+            return (ci < nchunks) & (jnp.max(Tc) >= EARLY_STOP_T)
+
+        jax.lax.while_loop(
+            cond, body,
+            (
+                jnp.int32(0),
+                jnp.ones((P, 1), jnp.float32),
+                jnp.zeros((P, 1), jnp.float32),
+            ),
+        )
+
+
 @functools.partial(
     jax.jit, static_argnames=("tiles_x", "nchan", "depth_in_dyn")
 )
@@ -1198,14 +1317,86 @@ def _composite_bwd_window(
     dyn_data, st_data, counts, tile_ids, accum, tfin, gacc, gt, tiles_x,
     nchan, depth_in_dyn,
 ):
+    """Window backward on a (tile-block, sub-frame) grid — one invocation.
+
+    Replaces the legacy S-split backward (_composite_bwd_window_ssplit):
+    no operand slices/copies, the static payload loads once per tile block,
+    gst accumulates across the inner S sweep, and each sub-frame's chunk
+    loop early-terminates independently (the fused-S kernel had to run
+    every sub-frame to the slowest one's chunk count).
+    """
+    T, S, Fd, cap = dyn_data.shape
+    if _interpret():
+        # interpret mode has no output-revisit accumulation guarantees
+        # across grid steps on all backends; use the legacy path there.
+        return _composite_bwd_window_ssplit(
+            dyn_data, st_data, counts, tile_ids, accum, tfin, gacc, gt,
+            tiles_x, nchan, depth_in_dyn,
+        )
+    Fs = st_data.shape[1]
+    # Blocks carry one sub-frame (11x smaller than the fused-S kernel's),
+    # so the full TILE_BLOCK rows fit at every capacity.
+    TB = TILE_BLOCK
+    assert T % TB == 0, "tile rows must be padded to a TILE_BLOCK multiple"
+    kernel = functools.partial(
+        _bwd_kernel_window_sgrid, tiles_x=tiles_x, cap=cap, nchan=nchan,
+        depth_in_dyn=depth_in_dyn, tb_rows=TB,
+    )
+    # tfin/gt carried as (T, S, 1, P): a (TB, 1, P) block has a sublane
+    # extent of 1 != S, which Mosaic rejects; with the singleton axis the
+    # trailing (1, P) block dims equal the array dims.
+    tfin4 = tfin[:, :, None, :]
+    gt4 = gt[:, :, None, :]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T // TB, S),
+        in_specs=[
+            pl.BlockSpec((TB, 1, Fd, cap), lambda t, s, *a: (t, s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, Fs, cap), lambda t, s, *a: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1, nchan, P), lambda t, s, *a: (t, s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1, 1, P), lambda t, s, *a: (t, s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1, nchan, P), lambda t, s, *a: (t, s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1, 1, P), lambda t, s, *a: (t, s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, 1, Fd, cap), lambda t, s, *a: (t, s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, Fs, cap), lambda t, s, *a: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, S, Fd, cap), jnp.float32),
+            jax.ShapeDtypeStruct((T, Fs, cap), jnp.float32),
+        ],
+        interpret=False,
+    )(tile_ids, counts, dyn_data, st_data, accum, tfin4, gacc, gt4)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tiles_x", "nchan", "depth_in_dyn")
+)
+def _composite_bwd_window_ssplit(
+    dyn_data, st_data, counts, tile_ids, accum, tfin, gacc, gt, tiles_x,
+    nchan, depth_in_dyn,
+):
     T, S, Fd, cap = dyn_data.shape
     if S > BWD_S_SPLIT:
         h = (S + 1) // 2
-        gdyn1, gst1 = _composite_bwd_window(
+        gdyn1, gst1 = _composite_bwd_window_ssplit(
             dyn_data[:, :h], st_data, counts, tile_ids, accum[:, :h],
             tfin[:, :h], gacc[:, :h], gt[:, :h], tiles_x, nchan, depth_in_dyn,
         )
-        gdyn2, gst2 = _composite_bwd_window(
+        gdyn2, gst2 = _composite_bwd_window_ssplit(
             dyn_data[:, h:], st_data, counts, tile_ids, accum[:, h:],
             tfin[:, h:], gacc[:, h:], gt[:, h:], tiles_x, nchan, depth_in_dyn,
         )
