@@ -940,6 +940,19 @@ def rasterize_split_buckets(
 # ---------------------------------------------------------------------------
 
 
+# Perf notes (measured on TPU, scripts/tpu_scan_ablate.py + trace A/B):
+# the compositor kernels are bound by MXU matmul passes per chunk body
+# (the two scan matmuls + the channel dots), NOT by VPU elementwise work
+# or grid overhead. Things that measurably do NOT help: larger
+# tiles-per-block for low-cap buckets (bit-identical bwd time at TB
+# 8/16/32, fwd ~8% slower at TB 16), bf16 scan-matmul inputs (f32 MXU is
+# already single-pass here), removing exp/log1p, and replacing the six
+# per-chunk VPU gradient reductions with a tile-local moment matmul
+# (+18% bwd — two extra MXU passes on the binding resource). Larger tiles
+# (32x32) raise scan cost (pairs x P grows); smaller tiles (8x8) collapse
+# chunk-lane utilization. TILE=16 / CHUNK=128 is the balanced point.
+
+
 def _window_tb(cap: int, bwd: bool) -> int:
     """Tiles per block for the fused kernels.
 

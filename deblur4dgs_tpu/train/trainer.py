@@ -298,19 +298,22 @@ def compute_dynamic_losses(
     loss += mask_loss * lcfg.w_mask
 
     # 2D track loss (trainer.py:633-667), gathered at on-grid query pixels.
-    pred_tracks_3d = out["tracks_3d"].reshape(H * W, Bt, 3).transpose(1, 0, 2)
-    pred_2d_h = jnp.einsum("bij,bpj->bpi", tracks.target_Ks, pred_tracks_3d)
+    # Gather the composited camera-space tracks at the P query pixels FIRST,
+    # then project — the projection is per-pixel, so this is exact, and it
+    # avoids materializing (Bt, H*W, 3) full-image projections (several ms
+    # of layout copies per step at 720p) for 256 used pixels.
+    q = tracks.query_tracks_2d.astype(jnp.int32)  # (P, 2) x,y on grid
+    tr_at_q = out["tracks_3d"][q[:, 1], q[:, 0]]  # (P, Bt, 3)
+    pred_2d_h = jnp.einsum(
+        "bij,pbj->bpi", tracks.target_Ks, tr_at_q
+    )  # (Bt, P, 3)
     # The reference clamps at 1e-6 (trainer.py:641), letting the disparity
     # loss reach ~1e5 at barely-covered query pixels, which can destabilize
     # training when track coverage is thin. We bound depth at 1e-2 —
     # identical for any valid normalized-scene depth, bounded blowup.
-    mapped_depth = jnp.maximum(pred_2d_h[..., 2:], 1e-2)  # (Bt, HW, 1)
-    pred_2d = pred_2d_h[..., :2] / mapped_depth
-
-    q = tracks.query_tracks_2d.astype(jnp.int32)  # (P, 2) x,y on grid
-    flat_idx = q[:, 1] * W + q[:, 0]  # (P,)
-    pred_at_q = pred_2d[:, flat_idx]  # (Bt, P, 2)
-    depth_at_q = mapped_depth[:, flat_idx, 0]  # (Bt, P)
+    mapped_depth = jnp.maximum(pred_2d_h[..., 2:], 1e-2)  # (Bt, P, 1)
+    pred_at_q = pred_2d_h[..., :2] / mapped_depth  # (Bt, P, 2)
+    depth_at_q = mapped_depth[..., 0]  # (Bt, P)
 
     frame_intervals = jnp.abs(t - tracks.target_ts.astype(jnp.float32))
     w_interval = jnp.exp(-2.0 * frame_intervals / num_window_frames)  # (Bt,)
