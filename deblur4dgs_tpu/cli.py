@@ -7,7 +7,10 @@ Usage:
   python -m deblur4dgs_tpu train --data-dir <scene>/x1 --work-dir out \
       [--high-res] [--epochs-static 400] [--epochs-dynamic 101]
   python -m deblur4dgs_tpu metrics --result-dir ... --gt-dir ...
-  python -m deblur4dgs_tpu view --checkpoint ... --port 8890
+  python -m deblur4dgs_tpu view --checkpoint ... --num-frames T \
+      --num-fg N --num-bg M [--port 8890]
+  python -m deblur4dgs_tpu render-path --checkpoint ... --num-frames T \
+      --num-fg N --num-bg M --keyframes kf.json --out path.mp4
 """
 
 from __future__ import annotations
@@ -41,11 +44,51 @@ def _add_metrics(sub):
     p.add_argument("--gt-dir", required=True)
 
 
+def _add_ckpt_args(p):
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--num-frames", type=int, required=True)
+    p.add_argument("--num-fg", type=int, required=True,
+                   help="fg Gaussian capacity of the checkpoint")
+    p.add_argument("--num-bg", type=int, required=True)
+    p.add_argument("--num-motion-bases", type=int, default=10)
+
+
 def _add_view(sub):
     p = sub.add_parser("view", help="interactive browser viewer")
-    p.add_argument("--checkpoint", required=True)
+    _add_ckpt_args(p)
     p.add_argument("--port", type=int, default=8890)
-    p.add_argument("--num-frames", type=int, required=True)
+
+
+def _add_render_path(sub):
+    p = sub.add_parser(
+        "render-path",
+        help="render a keyframed camera path to a video "
+        "(counterpart of the reference's viser render tab)",
+    )
+    _add_ckpt_args(p)
+    p.add_argument(
+        "--keyframes", required=True,
+        help="JSON file: [{c2w: 4x4 list, fov?: rad, time?: frame}, ...]",
+    )
+    p.add_argument("--out", required=True, help="output video path")
+    p.add_argument("--path-frames", type=int, default=120)
+    p.add_argument("--fps", type=float, default=30.0)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=288)
+    p.add_argument("--loop", action="store_true")
+    p.add_argument("--tension", type=float, default=0.0)
+
+
+def _load_renderer(args):
+    from deblur4dgs_tpu.train.checkpoints import template_state
+    from deblur4dgs_tpu.vis.renderer import Renderer
+
+    template = template_state(
+        args.num_fg, args.num_bg, args.num_motion_bases, args.num_frames
+    )
+    return Renderer.init_from_checkpoint(
+        args.checkpoint, template, args.num_frames
+    )
 
 
 def main(argv=None):
@@ -54,6 +97,7 @@ def main(argv=None):
     _add_train(sub)
     _add_metrics(sub)
     _add_view(sub)
+    _add_render_path(sub)
     args = parser.parse_args(argv)
 
     if args.cmd == "train":
@@ -107,13 +151,40 @@ def main(argv=None):
         ))
 
     elif args.cmd == "view":
-        print(
-            "Viewer requires a checkpoint template; use the python API:\n"
-            "  from deblur4dgs_tpu.vis.renderer import Renderer\n"
-            "  from deblur4dgs_tpu.vis.viewer import DynamicViewer\n"
-            "  r = Renderer.init_from_checkpoint(path, template, T)\n"
-            "  DynamicViewer(r.render_fn, T, port=...).serve_forever(False)"
+        from deblur4dgs_tpu.vis.viewer import DynamicViewer
+
+        renderer = _load_renderer(args)
+        print(f"serving on http://0.0.0.0:{args.port}")
+        DynamicViewer(
+            renderer.render_fn, args.num_frames, port=args.port
+        ).serve_forever(background=False)
+
+    elif args.cmd == "render-path":
+        import numpy as np
+
+        from deblur4dgs_tpu.vis.render_panel import (
+            Keyframe,
+            render_camera_path,
         )
+
+        renderer = _load_renderer(args)
+        with open(args.keyframes) as f:
+            kf_json = json.load(f)
+        keyframes = [
+            Keyframe(
+                c2w=np.asarray(k["c2w"], np.float32),
+                fov=float(k.get("fov", np.pi / 3)),
+                time=k.get("time"),
+            )
+            for k in kf_json
+        ]
+        _, video = render_camera_path(
+            renderer.render_fn, keyframes, (args.width, args.height),
+            num_frames=args.path_frames, out_path=args.out, fps=args.fps,
+            loop=args.loop, tension=args.tension,
+            num_scene_frames=args.num_frames,
+        )
+        print(json.dumps({"video": video, "frames": args.path_frames}))
 
 
 if __name__ == "__main__":

@@ -39,6 +39,50 @@ def load_checkpoint(path: str, template: TrainState) -> tuple[TrainState, int]:
     return restored["state"], int(restored["meta"]["epoch"])
 
 
+def template_state(
+    num_fg: int,
+    num_bg: int,
+    num_bases: int,
+    num_frames: int,
+) -> TrainState:
+    """Zero-filled TrainState with the given capacities.
+
+    load_checkpoint restores into the SHAPE of a template (the reference
+    instead rebuilds modules by inspecting state-dict shapes,
+    scene_model.py:145-160); this builds one from the run's dimensions so
+    CLI tools (view / render-path) can restore without the training setup.
+    """
+    import jax.numpy as jnp
+
+    from deblur4dgs_tpu.configs import OptimizerConfig, SceneLRConfig
+    from deblur4dgs_tpu.models.gaussians import Gaussians
+    from deblur4dgs_tpu.models.motion_bases import MotionBases
+    from deblur4dgs_tpu.models.move_model import init_move_model
+    from deblur4dgs_tpu.train.trainer import init_train_state
+
+    def gauss(n, coefs):
+        return Gaussians(
+            means=jnp.zeros((n, 3)),
+            quats=jnp.zeros((n, 4)).at[:, 0].set(1.0),
+            scales=jnp.zeros((n, 3)),
+            colors=jnp.zeros((n, 3)),
+            opacities=jnp.zeros((n,)),
+            motion_coefs=jnp.zeros((n, num_bases)) if coefs else None,
+            alive=jnp.ones((n,)),
+        )
+
+    scene = SceneModel(
+        fg=gauss(num_fg, True),
+        bg=gauss(num_bg, False) if num_bg else None,
+        bases=MotionBases(
+            rots=jnp.zeros((num_bases, num_frames, 6)),
+            transls=jnp.zeros((num_bases, num_frames, 3)),
+        ),
+        move=init_move_model(jax.random.PRNGKey(0), num_frames=num_frames),
+    )
+    return init_train_state(scene, SceneLRConfig(), OptimizerConfig())
+
+
 def lift_static_stage(scene: SceneModel, static_scene: SceneModel) -> SceneModel:
     """Stage handoff: reuse stage-1 bg Gaussians + MoveModel weights, keep
     the fresh fg/bases (run_training_dynamic.py:588-599). time_params are
