@@ -139,6 +139,37 @@ def _round_capacity(n: int) -> int:
     return max(int(-(-n // 256)) * 256, 256)
 
 
+def dump_run_artifacts(cfg: PipelineConfig):
+    """Write the resolved config + a code snapshot into work_dir.
+
+    Parity with the reference's per-run reproducibility artifacts: the
+    YAML config dump (run_training_static.py:96-98) and the source
+    self-backup (backup_code, run_training_static.py:281-287)."""
+    import dataclasses
+    import shutil
+
+    os.makedirs(cfg.work_dir, exist_ok=True)
+    try:
+        import yaml
+
+        with open(os.path.join(cfg.work_dir, "cfg.yaml"), "w") as f:
+            yaml.safe_dump(dataclasses.asdict(cfg), f)
+    except ImportError:
+        import json
+
+        with open(os.path.join(cfg.work_dir, "cfg.json"), "w") as f:
+            json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    backup = os.path.join(cfg.work_dir, "code_backup", "deblur4dgs_tpu")
+    if os.path.abspath(cfg.work_dir).startswith(os.path.dirname(pkg_dir)):
+        return  # never snapshot the package into itself
+    shutil.rmtree(os.path.join(cfg.work_dir, "code_backup"), ignore_errors=True)
+    shutil.copytree(
+        pkg_dir, backup,
+        ignore=shutil.ignore_patterns("__pycache__", "*.pyc"),
+    )
+
+
 def initialize_scene(
     dataset, cfg: PipelineConfig, cano_t: int | None = None,
     static_scene: SceneModel | None = None, num_fg: int | None = None,
@@ -372,6 +403,7 @@ def train_low(train_dataset, val_dataset, cfg: PipelineConfig, writer=None,
     from deblur4dgs_tpu.data.views import DownsampleView, WindowView
 
     os.makedirs(cfg.work_dir, exist_ok=True)
+    dump_run_artifacts(cfg)
 
     # Stage 1: static (bg + camera-motion predictor).
     scene0, bg_scale = initialize_scene(train_dataset, cfg)

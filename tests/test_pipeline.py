@@ -58,6 +58,20 @@ class TestAdaptiveSlides:
         assert s[0] > s[1] * 10
 
 
+class TestRunArtifacts:
+    def test_config_dump_and_code_backup(self, tmp_path):
+        import os
+
+        cfg = tiny_cfg(tmp_path)
+        PL.dump_run_artifacts(cfg)
+        assert os.path.exists(tmp_path / "cfg.yaml") or os.path.exists(
+            tmp_path / "cfg.json"
+        )
+        backup = tmp_path / "code_backup" / "deblur4dgs_tpu"
+        assert (backup / "pipeline.py").exists()
+        assert (backup / "ops" / "rasterize.py").exists()
+
+
 class TestStagedPipeline:
     def test_initialize_scene(self, adapter, tmp_path):
         cfg = tiny_cfg(tmp_path)
