@@ -103,6 +103,10 @@ class RenderConfig:
     # per-tile capacities cut pack/DMA traffic ~3x (ops/tiling.py
     # default_bucket_spec). Disable for uniform tile_cap everywhere.
     bucketed: bool = True
+    # Within-exposure camera interpolation: 'linear' (reference default,
+    # move_model.py:168-204) or 'cubic' (duplicated-knot SE(3) B-spline
+    # ease; see models/move_model.py::exposure_samples and PARITY.md).
+    camera_mode: str = "linear"
 
 
 def asdict(cfg):

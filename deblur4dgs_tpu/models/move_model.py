@@ -84,6 +84,7 @@ def exposure_samples(
     num_cameras: int,
     stage: str = "second",
     mode: str = "uniform",
+    camera_mode: str = "linear",
 ) -> ExposureSamples:
     """Sample the exposure window: N residual poses + times.
 
@@ -91,12 +92,24 @@ def exposure_samples(
     (single sample but returned with N entries sliced by the caller — here
     we just return the full uniform set; callers slice, matching
     scene_model.py:313-321).
+
+    camera_mode selects the within-window pose interpolation
+    (move_model.py:168-204): 'linear' (reference default) or 'cubic'. The
+    reference's cubic branch cannot actually run — it feeds its TWO control
+    poses into the four-basis-row cubic_bspline_interpolation
+    (spline_utils.py:442-449), a shape mismatch — so we define 'cubic' as
+    the SE(3) B-spline over duplicated knots [start, start, end, end]: a
+    smooth ease between the endpoint poses (see PARITY.md).
     """
     d0, d1 = predict_deltas(model, w2c)
     p0 = lie.se3_exp(d0)
     p1 = lie.se3_exp(d1)
     u = jnp.linspace(0.0, 1.0, num_cameras)
-    poses = lie.se3_lerp(p0, p1, u)  # (N, 3, 4)
+    if camera_mode == "cubic":
+        knots = jnp.stack([p0, p0, p1, p1], axis=0)  # (4, 3, 4)
+        poses = lie.se3_cubic_bspline(knots, u)  # (N, 3, 4)
+    else:
+        poses = lie.se3_lerp(p0, p1, u)  # (N, 3, 4)
 
     dt = frame_delta_t(model, t, stage)
     tf = jnp.asarray(t, jnp.float32)

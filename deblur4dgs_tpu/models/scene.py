@@ -144,6 +144,7 @@ def render(
     tile_mesh=None,  # jax Mesh => shard_map the compositor over image tiles
     tile_axis: str = "tile",
     return_exposure_stack: bool = True,  # per-sub-frame rgb/alpha stacks
+    camera_mode: str = "linear",  # within-exposure pose interpolation
 ) -> dict:
     assert not (fg_only and bg_only)
     W, H = img_wh
@@ -156,6 +157,7 @@ def render(
     samples = exposure_samples(
         scene.move, w2c, t_eff, num_exposure, stage=stage,
         mode="uniform" if mode == "blury" else mode,
+        camera_mode=camera_mode,
     )
     S = samples.poses.shape[0]
 

@@ -155,6 +155,36 @@ class TestMoveModel:
             assert s.poses.shape == (1, 3, 4)
             np.testing.assert_allclose(s.times[0], expect_t, atol=1e-5)
 
+    def test_camera_mode_cubic(self):
+        """Cubic ease: valid poses, exact agreement with linear at the
+        midpoint (the duplicated-knot B-spline basis sums to 1/2 there),
+        and endpoints pulled inward vs the linear ends."""
+        model = init_move_model(jax.random.PRNGKey(0), num_frames=8)
+        head = [dict(p) for p in model.head_end]
+        head[-1] = dict(head[-1])
+        head[-1]["b"] = head[-1]["b"] + jnp.array([0.2, 0, 0, 0.4, 0, 0])
+        model = model._replace(head_end=head)
+        lin = exposure_samples(
+            model, EYE4, t=3, num_cameras=11, stage="second",
+            camera_mode="linear",
+        )
+        cub = exposure_samples(
+            model, EYE4, t=3, num_cameras=11, stage="second",
+            camera_mode="cubic",
+        )
+        assert cub.poses.shape == (11, 3, 4)
+        for i in range(11):
+            R = np.asarray(cub.poses[i, :, :3])
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+        np.testing.assert_allclose(
+            cub.poses[5], lin.poses[5], atol=1e-5
+        )
+        span = lambda p: float(jnp.abs(p[-1] - p[0]).max())
+        assert span(cub.poses) < span(lin.poses)
+        np.testing.assert_allclose(
+            np.asarray(cub.times), np.asarray(lin.times), atol=1e-6
+        )
+
     def test_nonzero_heads_produce_trajectory(self):
         model = init_move_model(jax.random.PRNGKey(0), num_frames=8)
         # bump the end head bias: end pose must differ from start pose
