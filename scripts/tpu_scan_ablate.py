@@ -32,11 +32,10 @@ FS = 11  # opacity + 10 channels
 NCHAN = 11
 TILES_X = 80
 
-rng = np.random.default_rng(0)
-
-
 def build():
-    # Realistic-ish payload: gaussians near their tile centers.
+    # Realistic-ish payload: gaussians near their tile centers. Fresh rng
+    # per call so every variant times AND diffs on identical data.
+    rng = np.random.default_rng(0)
     dyn = np.zeros((T, S, Fd, CAP), np.float32)
     tx = (np.arange(T) % TILES_X)[:, None, None] * 16.0
     ty = (np.arange(T) // TILES_X)[:, None, None] * 16.0
