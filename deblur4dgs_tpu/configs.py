@@ -106,6 +106,9 @@ class RenderConfig:
     # Within-exposure camera interpolation: 'linear' (reference default,
     # move_model.py:168-204) or 'cubic' (duplicated-knot SE(3) B-spline
     # ease; see models/move_model.py::exposure_samples and PARITY.md).
+    # NOTE 'cubic' endpoints shrink to (5*p0+p1)/6 and (p0+5*p1)/6 — the
+    # spline covers ~2/3 of the predicted exposure motion — and its exact
+    # mid-sample property (used by mode='mid') requires ODD num_exposure.
     camera_mode: str = "linear"
 
 

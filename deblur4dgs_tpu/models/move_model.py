@@ -100,6 +100,14 @@ def exposure_samples(
     (spline_utils.py:442-449), a shape mismatch — so we define 'cubic' as
     the SE(3) B-spline over duplicated knots [start, start, end, end]: a
     smooth ease between the endpoint poses (see PARITY.md).
+
+    Caveats of the duplicated-knot spline: it evaluates to (5*p0+p1)/6 at
+    u=0 and (p0+5*p1)/6 at u=1, so 'cubic' spans only the middle ~2/3 of
+    the predicted exposure motion (reduced effective blur extent vs
+    'linear'). Its exact-midpoint property — sample N//2 sitting at the
+    true SE(3) midpoint of (p0, p1), which mode='mid' slicing relies on —
+    holds only for ODD num_cameras; use odd num_exposure with
+    camera_mode='cubic'.
     """
     d0, d1 = predict_deltas(model, w2c)
     p0 = lie.se3_exp(d0)

@@ -161,8 +161,13 @@ def dump_run_artifacts(cfg: PipelineConfig):
             json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     backup = os.path.join(cfg.work_dir, "code_backup", "deblur4dgs_tpu")
-    if os.path.abspath(cfg.work_dir).startswith(os.path.dirname(pkg_dir)):
-        return  # never snapshot the package into itself
+    # Skip only when the backup destination would land inside the package
+    # itself (recursive copy); a work_dir elsewhere in the repo is fine.
+    if os.path.commonpath(
+        [os.path.abspath(backup), pkg_dir]
+    ) == pkg_dir:
+        print(f"code backup skipped: {backup} is inside the package")
+        return
     shutil.rmtree(os.path.join(cfg.work_dir, "code_backup"), ignore_errors=True)
     shutil.copytree(
         pkg_dir, backup,

@@ -254,7 +254,7 @@ def compute_dynamic_losses(
         num_exposure=rcfg.num_exposure, cap=rcfg.tile_cap,
         use_pallas=rcfg.use_pallas, means2d_tap=taps[0],
         bucketed=rcfg.bucketed,
-            camera_mode=rcfg.camera_mode,
+        camera_mode=rcfg.camera_mode,
         subframe_sharding=subframe_sharding,
         tile_mesh=tile_mesh,
         return_exposure_stack=flow_fn is not None,

@@ -145,6 +145,9 @@ def interpolate_camera_path(
     s_q = _squad_inner(qs, loop, tension)
 
     nseg = K if loop else K - 1
+    # every segment gets >= 1 frame, so fewer frames than segments can
+    # never be honored (the trim loop below only shrinks entries > 1)
+    num_frames = max(num_frames, nseg)
     chord = np.asarray(
         jnp.linalg.norm(jnp.roll(pos, -1, axis=0) - pos, axis=-1)
     )[:nseg]

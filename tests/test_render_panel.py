@@ -176,3 +176,19 @@ class TestRenderPath:
         assert all(0 <= t <= 4 for t in ts)
         # fov flows through to the camera states
         assert all(0.8 < c.fov < 1.3 for c, _ in calls)
+
+
+class TestFrameAllocation:
+    def test_fewer_frames_than_segments_terminates(self):
+        # regression: 5 looped keyframes (5 segments) with num_frames=4 used
+        # to hang forever in the trim loop (every alloc entry floored at 1);
+        # now num_frames is clamped up to the segment count
+        kfs = ring_keyframes(5)
+        w2cs, fovs, times = interpolate_camera_path(kfs, 4, loop=True)
+        assert w2cs.shape[0] == 5  # clamped to nseg
+        assert fovs.shape[0] == 5
+
+    def test_clamped_path_fewer_frames(self):
+        kfs = ring_keyframes(6)
+        w2cs, _, _ = interpolate_camera_path(kfs, 3, loop=False)
+        assert w2cs.shape[0] == 5  # nseg = K - 1
