@@ -93,7 +93,10 @@ def build(tile_mesh=None):
     lr = SceneLRConfig()
     ocfg = OptimizerConfig()
     lcfg = LossesConfig()
-    rcfg = RenderConfig(num_exposure=NUM_EXPOSURE, tile_cap=TILE_CAP)
+    rcfg = RenderConfig(
+        num_exposure=NUM_EXPOSURE, tile_cap=TILE_CAP,
+        max_tiles_per_gauss=int(os.environ.get("BENCH_MT", "32")),
+    )
     state = init_train_state(scene, lr, ocfg)
     step = make_train_step(
         make_optimizer(scene, lr, ocfg), lcfg, rcfg, "second", T,

@@ -22,7 +22,8 @@ import os
 
 def _add_train(sub):
     p = sub.add_parser("train", help="staged train_low/train_high pipeline")
-    p.add_argument("--data-dir", required=True)
+    p.add_argument("--data-dir", default=None,
+                   help="scene dir (required unless --synthetic)")
     p.add_argument("--work-dir", required=True)
     p.add_argument("--high-res", action="store_true",
                    help="720x1280 (no /2.5 intrinsics scaling)")
@@ -36,6 +37,25 @@ def _add_train(sub):
     p.add_argument("--tile-cap", type=int, default=1024)
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--validate-every", type=int, default=100)
+    p.add_argument("--save-videos-every", type=int, default=50)
+    p.add_argument("--pose-opt-iters", type=int, default=500)
+    p.add_argument("--flow-weights", default=None,
+                   help="PWC-Net .pth for the exposure-consistency loss")
+    p.add_argument("--no-resume", action="store_true",
+                   help="ignore existing stage checkpoints")
+    p.add_argument("--viewer-port", type=int, default=None,
+                   help="serve a live training viewer on this port")
+    p.add_argument(
+        "--synthetic", action="store_true",
+        help="train on a generated synthetic blurry scene instead of a "
+        "Shape-of-Motion data dir (smoke/regression runs)",
+    )
+    p.add_argument("--synthetic-frames", type=int, default=8)
+    p.add_argument("--synthetic-wh", type=int, nargs=2, default=(64, 48))
+    p.add_argument("--initial-optim-iters", type=int, default=1000)
+    p.add_argument("--num-windows", type=int, default=None,
+                   help="override phase-B window count (default ceil(T/5))")
 
 
 def _add_metrics(sub):
@@ -105,23 +125,44 @@ def main(argv=None):
 
         from deblur4dgs_tpu import pipeline as PL
         from deblur4dgs_tpu.configs import RenderConfig
-        from deblur4dgs_tpu.data.stereo import StereoDataConfig, StereoDataset
 
-        train_ds = StereoDataset(
-            StereoDataConfig(
-                data_dir=args.data_dir,
-                intrinsics_scale=1.0 if args.high_res else 2.5,
-                seed=args.seed,
+        if not args.synthetic and args.data_dir is None:
+            parser.error("train: --data-dir is required unless --synthetic")
+        if args.synthetic:
+            from deblur4dgs_tpu.data import synthetic
+
+            sscene = synthetic.make_scene(
+                seed=args.seed, num_frames=args.synthetic_frames,
+                img_wh=tuple(args.synthetic_wh),
             )
-        )
-        val_ds = StereoDataset(
-            StereoDataConfig(
-                data_dir=args.data_dir, split="val",
-                intrinsics_scale=1.0 if args.high_res else 2.5,
-                seed=args.seed,
-            ),
-            scene_norm=train_ds.scene_norm,
-        )
+            sdata = synthetic.generate_dataset(sscene)
+            train_ds = synthetic.SyntheticSceneAdapter(
+                sscene, sdata, seed=args.seed
+            )
+            val_ds = synthetic.SyntheticSceneAdapter(
+                sscene, sdata, seed=args.seed, split="val"
+            )
+        else:
+            from deblur4dgs_tpu.data.stereo import (
+                StereoDataConfig,
+                StereoDataset,
+            )
+
+            train_ds = StereoDataset(
+                StereoDataConfig(
+                    data_dir=args.data_dir,
+                    intrinsics_scale=1.0 if args.high_res else 2.5,
+                    seed=args.seed,
+                )
+            )
+            val_ds = StereoDataset(
+                StereoDataConfig(
+                    data_dir=args.data_dir, split="val",
+                    intrinsics_scale=1.0 if args.high_res else 2.5,
+                    seed=args.seed,
+                ),
+                scene_norm=train_ds.scene_norm,
+            )
         cfg = PL.PipelineConfig(
             work_dir=args.work_dir,
             num_fg=args.num_fg,
@@ -130,6 +171,12 @@ def main(argv=None):
             static_epochs=args.epochs_static,
             dynamic_epochs=args.epochs_dynamic,
             steps_per_epoch=args.steps_per_epoch,
+            initial_optim_iters=args.initial_optim_iters,
+            validate_every=args.validate_every,
+            save_videos_every=args.save_videos_every,
+            pose_opt_iters=args.pose_opt_iters,
+            flow_weights=args.flow_weights,
+            resume=not args.no_resume,
             render=RenderConfig(
                 num_exposure=args.num_exposure,
                 tile_cap=args.tile_cap,
@@ -138,7 +185,21 @@ def main(argv=None):
             seed=args.seed,
         )
         writer = SummaryWriter(args.work_dir)
-        scene, metrics, slides = PL.train_low(train_ds, val_ds, cfg, writer)
+        viewer = None
+        if args.viewer_port is not None:
+            from deblur4dgs_tpu.vis.viewer import TrainingViewer
+
+            viewer = TrainingViewer(
+                len(train_ds), port=args.viewer_port,
+                num_exposure=args.num_exposure, cap=args.tile_cap,
+                use_pallas=not args.no_pallas,
+            )
+            viewer.serve_forever(background=True)
+            print(f"live viewer on http://0.0.0.0:{args.viewer_port}")
+        sceneA, window_scenes, metrics, slides = PL.train_low(
+            train_ds, val_ds, cfg, writer,
+            num_phaseB_windows=args.num_windows, viewer=viewer,
+        )
         print(json.dumps({k: float(v) for k, v in metrics.items()}, indent=2))
         with open(os.path.join(args.work_dir, "metrics.json"), "w") as f:
             json.dump({k: float(v) for k, v in metrics.items()}, f)

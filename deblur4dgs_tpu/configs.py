@@ -103,6 +103,12 @@ class RenderConfig:
     # per-tile capacities cut pack/DMA traffic ~3x (ops/tiling.py
     # default_bucket_spec). Disable for uniform tile_cap everywhere.
     bucketed: bool = True
+    # Max tiles a gaussian's bounding square may cover in pair-expansion
+    # binning (ops/tiling.py): halving 32 -> 16 halves the pair sort +
+    # list-gather cost but truncates coverage of gaussians with screen
+    # radius over ~24 px (a 4x4-tile span plus slack). Quality-checked by
+    # scripts/tpu_mt_ablate.py before changing the default.
+    max_tiles_per_gauss: int = 32
     # Within-exposure camera interpolation: 'linear' (reference default,
     # move_model.py:168-204) or 'cubic' (duplicated-knot SE(3) B-spline
     # ease; see models/move_model.py::exposure_samples and PARITY.md).

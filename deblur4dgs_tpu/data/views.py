@@ -199,3 +199,42 @@ class WindowView:
                 "target_track_depths": np.asarray(d.track_depths)[targets],
             }
         return None
+
+
+class ValSliceView:
+    """Contiguous slice [lo, hi) of a VAL dataset with times re-based to a
+    training window.
+
+    The reference evaluates each phase-B window's model on its own val
+    frames by re-instantiating the val dataset with cfg.data.start/end set
+    to the window bounds (run_testing.py:146-152); val time ids are
+    train-frame units (stereo_low_dataset.py:114-124) and the validator
+    subtracts the window start (validator.py:408). This view does the same
+    without reloading: item ts become window-local train-frame times.
+
+    ``t_offset`` is the window's first train-frame index;
+    ``val_start_half`` is base.start//2 (the val dataset's own clip start
+    in train-frame units — 0 for synthetic adapters).
+    """
+
+    def __init__(self, base, lo: int, hi: int, t_offset: int,
+                 window_len: int):
+        self.base = base
+        self.lo, self.hi = lo, hi
+        self.t_offset = t_offset
+        self.window_len = window_len
+        self.start = 0  # times returned already window-local
+
+    def __len__(self):
+        return self.hi - self.lo
+
+    def get_img_wh(self):
+        return self.base.get_img_wh()
+
+    def get_item(self, index: int) -> dict:
+        item = dict(self.base.get_item(self.lo + index))
+        t_train = int(item["ts"]) - getattr(self.base, "start", 0) // 2
+        item["ts"] = int(
+            np.clip(t_train - self.t_offset, 0, self.window_len - 1)
+        )
+        return item

@@ -150,13 +150,18 @@ class Validator:
 
     def validate_frame_with_pose_opt(
         self, pose_opt_fn, t, w2c, K, gt_img, fg_mask, valid_mask,
-        frame_name="frame",
+        frame_name="frame", subdir="rgb_test_optim", with_metrics=True,
     ):
-        """Refined render + metrics (validator.py:400-499)."""
+        """Refined render + metrics (validator.py:400-499).
+
+        with_metrics=False still renders + saves (the reference renders
+        every val frame but the metrics stage keeps only held-out odd
+        frames, run_compute_metrics.py:60-61)."""
         img, w2c_t, losses = pose_opt_fn(self.scene, t, w2c, K, gt_img)
-        self.update_metrics(img, gt_img, fg_mask, valid_mask)
-        self._save("rgb_test_optim", frame_name, img)
-        self._save("rgb_test_optim", f"{frame_name}_gt", gt_img)
+        if with_metrics:
+            self.update_metrics(img, gt_img, fg_mask, valid_mask)
+        self._save(subdir, frame_name, img)
+        self._save(subdir, f"{frame_name}_gt", gt_img)
         return img, w2c_t, losses
 
     def validate_keypoints(

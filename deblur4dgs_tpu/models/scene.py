@@ -145,6 +145,7 @@ def render(
     tile_axis: str = "tile",
     return_exposure_stack: bool = True,  # per-sub-frame rgb/alpha stacks
     camera_mode: str = "linear",  # within-exposure pose interpolation
+    max_tiles_per_gauss: int = 32,  # pair-binning tile-span cap
 ) -> dict:
     assert not (fg_only and bg_only)
     W, H = img_wh
@@ -202,6 +203,12 @@ def render(
 
     if means2d_tap is None:
         means2d_tap = jnp.zeros((S, N, 2))
+
+    # Fraction of tile-gaussian intersections dropped by capacity
+    # truncation (tile_cap / bucket spec too small for the scene). Computed
+    # on the shared-binning training paths; surfaced so training can log it
+    # (silent truncation degrades quality invisibly otherwise).
+    tile_overflow = jnp.zeros(())
 
     # --- per-sub-frame render body -----------------------------------------
     def project_subframe(pose, time, tap):
@@ -312,7 +319,8 @@ def render(
                 # come straight from the binning sort's runs; the dense
                 # (T, CAP) table (a pair-scale scatter) is never built.
                 rank_sorted, starts, _, raw, order = bin_gaussians_union_runs(
-                    projs, img_wh, cap
+                    projs, img_wh, cap,
+                    max_tiles_per_gauss=max_tiles_per_gauss,
                 )
                 spec = default_bucket_spec(tiles_x * tiles_y, cap)
                 # Tile-sharded compositing needs every bucket's rows to
@@ -324,6 +332,10 @@ def render(
                 buckets = bucket_tiles_from_runs(
                     rank_sorted, starts, raw, N, spec, pad_multiple=pad_mult
                 )
+                kept = sum(jnp.sum(c) for c in buckets.counts)
+                tile_overflow = 1.0 - kept.astype(jnp.float32) / jnp.maximum(
+                    jnp.sum(raw), 1
+                ).astype(jnp.float32)
                 # Combined dyn+static payload table: ONE gather per bucket
                 # (and one backward scatter-add) instead of two.
                 tbl = jnp.concatenate(
@@ -354,7 +366,13 @@ def render(
                 )
                 subframe = xs = None
             else:
-                shared = bin_gaussians_union(projs, img_wh, cap)
+                shared = bin_gaussians_union(
+                    projs, img_wh, cap,
+                    max_tiles_per_gauss=max_tiles_per_gauss,
+                )
+                tile_overflow = 1.0 - jnp.sum(shared[1]).astype(
+                    jnp.float32
+                ) / jnp.maximum(jnp.sum(shared[2]), 1).astype(jnp.float32)
                 st_data = pack_static(
                     opacities, const_chans, shared[0], shared[3]
                 )
@@ -445,4 +463,5 @@ def render(
     out["exposure_imgs"] = rgb_stack if return_exposure_stack else None
     out["exposure_alphas"] = alpha_stack if return_exposure_stack else None
     out["radii"] = radii_stack  # (S, N) per-sub-frame screen radii
+    out["tile_overflow"] = tile_overflow
     return out

@@ -35,3 +35,24 @@ def subframe_sharding(mesh: Mesh, axis: str = "sub") -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
+
+
+def maybe_init_distributed(env_var: str = "DEBLUR4DGS_DIST") -> bool:
+    """Multi-host entry: call jax.distributed.initialize() when the
+    launcher sets ``DEBLUR4DGS_DIST=1`` (coordinator address / process id /
+    num processes come from the standard JAX env vars or the TPU metadata
+    service). A no-op on single-host runs so CLIs and the graft dryrun can
+    call it unconditionally. Returns True when initialization ran."""
+    import os
+
+    if os.environ.get(env_var, "").lower() not in ("1", "true"):
+        return False
+    jax.distributed.initialize()
+    return True
+
+
+def global_mesh(axis: str = "sub") -> Mesh:
+    """Mesh over every global device (all hosts after
+    maybe_init_distributed); shardings built from it ride ICI within a
+    host and DCN across hosts via GSPMD collectives."""
+    return Mesh(np.array(jax.devices()), (axis,))

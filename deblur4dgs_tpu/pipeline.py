@@ -36,6 +36,7 @@ from deblur4dgs_tpu.models.scene import SceneModel, render
 from deblur4dgs_tpu.train import init as I
 from deblur4dgs_tpu.train.checkpoints import (
     lift_static_stage,
+    load_checkpoint,
     save_checkpoint,
 )
 from deblur4dgs_tpu.train.loop import (
@@ -126,8 +127,16 @@ class PipelineConfig:
     dynamic_epochs: int = 101
     steps_per_epoch: int = 24
     initial_optim_iters: int = 1000
-    validate_every: int = 100
+    validate_every: int = 100  # epochs between mid-training validations
+    save_videos_every: int = 50  # epochs between train-video dumps (0 = off)
     pose_opt_iters: int = 500
+    # Optional PWC-Net weights for the exposure-consistency AlignedLoss
+    # (trainer.py:599-618): a path to the reference's
+    # pwcnet-network-default.pth, or 'random' (untrained net — tests only).
+    # None disables the loss, matching runs without the flow checkpoint.
+    flow_weights: str | None = None
+    resume: bool = True  # restore stages from their checkpoints if present
+    checkpoint_every: int = 200  # steps between in-stage checkpoints
     lr: SceneLRConfig = field(default_factory=SceneLRConfig)
     losses: LossesConfig = field(default_factory=LossesConfig)
     optim: OptimizerConfig = field(default_factory=OptimizerConfig)
@@ -240,77 +249,220 @@ def _preload_batches(dataset, indices=None):
     return items
 
 
+def _ckpt_exists(path: str) -> bool:
+    """Orbax StandardCheckpointer saves a directory; a bare path check
+    suffices (saves are atomic — tmp dir renamed on completion)."""
+    return osp.isdir(path)
+
+
+def make_flow_fn(cfg: PipelineConfig):
+    """Exposure-consistency AlignedLoss flow net (loss_utils.py:161-189).
+
+    Returns None when no weights are configured (the loss is then skipped,
+    trainer.py flow_fn=None path)."""
+    if cfg.flow_weights is None:
+        return None
+    from deblur4dgs_tpu.models import pwcnet as P
+
+    if cfg.flow_weights == "random":
+        params = P.init_pwcnet(jax.random.PRNGKey(cfg.seed))
+    else:
+        params = P.load_torch_weights(cfg.flow_weights)
+    return P.make_aligned_loss_fn(params)
+
+
+def _maybe_resume(loop: TrainLoop, stage_dir: str, cfg: PipelineConfig) -> int:
+    """Restore the loop from stage_dir/checkpoints/last if present.
+
+    Returns the global step to resume from (0 = fresh). Counterpart of the
+    reference's Trainer.init_from_checkpoint restoring optimizers +
+    schedulers + step (trainer.py:142-178)."""
+    last = osp.join(stage_dir, "checkpoints", "last")
+    if not (cfg.resume and _ckpt_exists(last)):
+        return 0
+    loop.state, epoch = load_checkpoint(last, loop.state)
+    step = int(loop.state.step)
+    loop.global_step = step
+    loop.epoch = epoch
+    print(f"resumed {stage_dir} from step {step} (epoch {epoch})")
+    return step
+
+
+def run_validation(
+    scene: SceneModel, val_view, cfg: PipelineConfig, epoch: int,
+    writer=None, work_dir: str | None = None, tag: str = "val",
+    train_view=None,
+):
+    """Mid-training validation (run_training_static.py:189-197 /
+    run_training_dynamic.py:307-315 + validator.py:83-124): sharp
+    mid-exposure renders of every val frame written to
+    results/rgb_deblur_mid/{epoch:05d}/, PSNR/SSIM to tensorboard; train
+    videos at their own cadence (validator.py:216-398)."""
+    validator = Validator(scene, save_dir=work_dir, has_bg=scene.bg is not None)
+    W, H = val_view.get_img_wh()
+    for i in range(len(val_view)):
+        item = val_view.get_item(i)
+        t = int(item["ts"]) - getattr(val_view, "start", 0) // 2
+        validator.validate_frame(
+            t,
+            jnp.asarray(np.asarray(item["w2cs"])),
+            jnp.asarray(np.asarray(item["Ks"])),
+            jnp.asarray(np.asarray(item["imgs"])),
+            jnp.asarray(np.asarray(item["masks"])),
+            jnp.asarray(np.asarray(item["valid_masks"])),
+            (W, H),
+            frame_name=str(item["frame_names"]),
+            num_exposure=cfg.render.num_exposure, cap=cfg.render.tile_cap,
+            use_pallas=cfg.render.use_pallas,
+            subdir=osp.join("rgb_deblur_mid", f"{epoch:05d}"),
+        )
+    metrics = validator.compute()
+    if writer is not None:
+        for k, v in metrics.items():
+            writer.add_scalar(f"{tag}/{k}", float(v), epoch)
+    if (
+        train_view is not None
+        and cfg.save_videos_every
+        and epoch % cfg.save_videos_every == 0
+    ):
+        validator.save_train_videos(
+            train_view, epoch, num_exposure=cfg.render.num_exposure,
+            cap=cfg.render.tile_cap, use_pallas=cfg.render.use_pallas,
+        )
+    return metrics
+
+
 def train_static_stage(
     dataset, scene: SceneModel, cfg: PipelineConfig, bg_scale: float,
-    writer=None,
+    writer=None, val_view=None, viewer=None,
 ) -> SceneModel:
     """Stage 1 (run_training_static.py:140-199): bg + camera predictor."""
+    # own the buffers: the jitted step donates its state, and stage-handoff
+    # scenes share arrays (bg/move lifted from stage 1) — donating shared
+    # buffers would delete them under the other stages
+    scene = jax.tree.map(jnp.copy, scene)
     state = init_train_state(scene, cfg.lr, cfg.optim)
+    final = osp.join(cfg.work_dir, "ckpts", "static", "last")
+    if cfg.resume and _ckpt_exists(final):
+        state, _ = load_checkpoint(final, state)
+        print(f"static stage: restored finished checkpoint {final}")
+        return state.scene
     opt = make_optimizer(scene, cfg.lr, cfg.optim)
     T = len(dataset.get_dyn_time_ids())
+    stage_dir = osp.join(cfg.work_dir, "static")
     loop = TrainLoop(
         state, opt, cfg.losses, cfg.render, cfg.optim, T,
-        osp.join(cfg.work_dir, "static"), "first",
+        stage_dir, "first",
         has_static=True, has_dynamic=False, has_reg=False,
         bg_scene_scale=bg_scale, writer=writer, seed=cfg.seed,
+        checkpoint_every=cfg.checkpoint_every, viewer=viewer,
     )
+    start_step = _maybe_resume(loop, stage_dir, cfg)
     items = _preload_batches(dataset)
     rng = np.random.default_rng(cfg.seed)
-    for epoch in range(cfg.static_epochs):
-        loop.epoch = epoch
-        for _ in range(cfg.steps_per_epoch):
-            idx = int(rng.integers(1, len(items) - 1))
-            batch = stack_frame_batch([items[idx - 1], items[idx], items[idx + 1]])
-            loop.train_step(batch, None, None, None)
+    for _ in range(start_step):  # replay the sampling stream up to resume
+        rng.integers(1, len(items) - 1)
+    total = cfg.static_epochs * cfg.steps_per_epoch
+    for gstep in range(start_step, total):
+        loop.epoch = epoch = gstep // cfg.steps_per_epoch
+        idx = int(rng.integers(1, len(items) - 1))
+        batch = stack_frame_batch([items[idx - 1], items[idx], items[idx + 1]])
+        loop.train_step(batch, None, None, None)
+        end_of_epoch = (gstep + 1) % cfg.steps_per_epoch == 0
+        last_epoch = epoch == cfg.static_epochs - 1
+        if (
+            val_view is not None and end_of_epoch
+            and (epoch % cfg.validate_every == 0 or last_epoch)
+        ):
+            run_validation(
+                loop.state.scene, val_view, cfg, epoch, writer=writer,
+                work_dir=cfg.work_dir, tag="val_static",
+                train_view=dataset,
+            )
     os.makedirs(osp.join(cfg.work_dir, "ckpts", "static"), exist_ok=True)
-    save_checkpoint(
-        osp.join(cfg.work_dir, "ckpts", "static", "last"),
-        loop.state, cfg.static_epochs,
-    )
+    save_checkpoint(final, loop.state, cfg.static_epochs)
     return loop.state.scene
 
 
 def train_dynamic_stage(
     dataset, scene: SceneModel, cfg: PipelineConfig, bg_scale: float,
-    batch4_provider=None, writer=None, epochs: int | None = None,
+    batch4_provider=None, reg_imgs=None, writer=None,
+    epochs: int | None = None, tag: str = "dynamic", val_view=None,
+    flow_fn=None, viewer=None,
 ) -> SceneModel:
-    """Stage 2 (run_training_dynamic.py:130-319): fg dynamics + exposure."""
+    """Stage 2 (run_training_dynamic.py:130-319): fg dynamics + exposure.
+
+    reg_imgs: (T, H, W, 3) stage-1 deblurred bg renders — the static-reg
+    branch targets (batch3, run_training_dynamic.py:238-285,448-486):
+    every step renders the CURRENT bg in sharp mid mode at batch1's frame
+    and pulls it toward the stage-1 output, preventing bg drift while the
+    fg trains. batch4_provider(i) -> phase-A multires guidance for frame i
+    (run_training_dynamic.py:488-529)."""
+    scene = jax.tree.map(jnp.copy, scene)  # see train_static_stage
     state = init_train_state(scene, cfg.lr, cfg.optim)
+    final = osp.join(cfg.work_dir, "ckpts", tag, "last")
+    if cfg.resume and _ckpt_exists(final):
+        state, _ = load_checkpoint(final, state)
+        print(f"{tag} stage: restored finished checkpoint {final}")
+        return state.scene
     opt = make_optimizer(scene, cfg.lr, cfg.optim)
     T = len(dataset.get_dyn_time_ids())
+    has_reg = reg_imgs is not None
+    stage_dir = osp.join(cfg.work_dir, tag)
     loop = TrainLoop(
         state, opt, cfg.losses, cfg.render, cfg.optim, T,
-        osp.join(cfg.work_dir, "dynamic"), "second",
-        has_static=True, has_dynamic=True, has_reg=False,
+        stage_dir, "second",
+        has_static=True, has_dynamic=True, has_reg=has_reg,
         has_batch4=batch4_provider is not None,
+        flow_fn=flow_fn,
         bg_scene_scale=bg_scale, writer=writer, seed=cfg.seed,
+        checkpoint_every=cfg.checkpoint_every, viewer=viewer,
     )
+    start_step = _maybe_resume(loop, stage_dir, cfg)
     ids = dataset.get_dyn_image_ids()
     items = _preload_batches(dataset, ids)
     rng = np.random.default_rng(cfg.seed + 1)
-    for epoch in range(epochs or cfg.dynamic_epochs):
-        loop.epoch = epoch
-        for _ in range(cfg.steps_per_epoch):
-            i1 = int(rng.integers(0, len(items)))
-            i2 = int(rng.integers(0, len(items)))
-            batch1 = stack_frame_batch([items[i1]])
-            batch2 = stack_frame_batch([items[i2]])
-            tracks = track_batch_from_item(items[i2], start=dataset.start)
-            b4 = batch4_provider(i2) if batch4_provider is not None else None
-            loop.train_step(batch1, batch2, tracks, None, b4)
-    os.makedirs(osp.join(cfg.work_dir, "ckpts", "dynamic"), exist_ok=True)
-    save_checkpoint(
-        osp.join(cfg.work_dir, "ckpts", "dynamic", "last"),
-        loop.state, epochs or cfg.dynamic_epochs,
-    )
+    for _ in range(start_step):
+        rng.integers(0, len(items), size=2)
+    num_epochs = epochs or cfg.dynamic_epochs
+    total = num_epochs * cfg.steps_per_epoch
+    for gstep in range(start_step, total):
+        loop.epoch = epoch = gstep // cfg.steps_per_epoch
+        i1, i2 = (int(v) for v in rng.integers(0, len(items), size=2))
+        batch1 = stack_frame_batch([items[i1]])
+        batch2 = stack_frame_batch([items[i2]])
+        tracks = track_batch_from_item(items[i2], start=dataset.start)
+        breg = None
+        if has_reg:
+            # batch3 = batch1's frame with imgs swapped for the stage-1
+            # deblurred render (run_training_dynamic.py:286-302 batch3 uses
+            # index1)
+            breg = batch1._replace(imgs=jnp.asarray(reg_imgs[i1])[None])
+        b4 = batch4_provider(i2) if batch4_provider is not None else None
+        loop.train_step(batch1, batch2, tracks, breg, b4)
+        end_of_epoch = (gstep + 1) % cfg.steps_per_epoch == 0
+        last_epoch = epoch == num_epochs - 1
+        if (
+            val_view is not None and end_of_epoch
+            and (epoch % cfg.validate_every == 0 or last_epoch)
+        ):
+            run_validation(
+                loop.state.scene, val_view, cfg, epoch, writer=writer,
+                work_dir=cfg.work_dir, tag=f"val_{tag}",
+                train_view=dataset,
+            )
+    os.makedirs(osp.join(cfg.work_dir, "ckpts", tag), exist_ok=True)
+    save_checkpoint(final, loop.state, num_epochs)
     return loop.state.scene
 
 
 def run_testing(
     val_dataset, scene: SceneModel, cfg: PipelineConfig, lpips_fn=None,
 ) -> dict:
-    """Stage 3 (run_testing.py + validator.py:400-499): test-time pose
-    refinement on every val frame + metrics."""
+    """Single-scene testing (validator.py:400-499): test-time pose
+    refinement on every val frame + metrics. The full pipeline uses
+    run_testing_windows; this evaluates one scene over the whole val set
+    (useful for phase-A checks and single-window runs)."""
     W, H = val_dataset.get_img_wh()
     pose_opt = make_pose_opt_fn(
         (W, H), num_iters=cfg.pose_opt_iters,
@@ -334,6 +486,72 @@ def run_testing(
             jnp.asarray(np.asarray(item["valid_masks"])),
             frame_name=str(item["frame_names"]),
         )
+    return validator.compute()
+
+
+def run_testing_windows(
+    val_dataset, window_scenes: dict, cfg: PipelineConfig,
+    train_num_frames: int, base: int = 5, lpips_fn=None,
+) -> dict:
+    """Stage 3+4 (run_testing.py:141-204 + run_compute_metrics.py:36-61):
+    evaluate EACH phase-B window's model with test-time pose refinement on
+    its own slice of the val set, aggregating held-out (odd-indexed) frame
+    metrics across windows.
+
+    The val set is partitioned into contiguous per-window slices of
+    base * (val/train frame-rate ratio) frames, the last window taking the
+    tail — exactly the reference's fixed file partition
+    (run_compute_metrics.py:36-52: windows of 10 val frames for base=5,
+    train = even frames). Every slice frame is rendered + saved (parity
+    with the reference's artifacts); only globally odd-indexed val frames
+    enter the metrics (results[1::2], run_compute_metrics.py:60-61).
+
+    window_scenes: {wid: (scene, window_frame_indices)} from train_low.
+    """
+    W, H = val_dataset.get_img_wh()
+    V = len(val_dataset)
+    n_win = len(window_scenes)
+    ratio = max(V // max(train_num_frames, 1), 1)
+    share = base * ratio
+    pose_opt = make_pose_opt_fn(
+        (W, H), num_iters=cfg.pose_opt_iters,
+        num_exposure=cfg.render.num_exposure, cap=cfg.render.tile_cap,
+        use_pallas=cfg.render.use_pallas,
+    )
+    any_scene = next(iter(window_scenes.values()))[0]
+    validator = Validator(
+        any_scene, save_dir=cfg.work_dir, has_bg=any_scene.bg is not None,
+        lpips_fn=lpips_fn,
+    )
+    from deblur4dgs_tpu.data.views import ValSliceView
+
+    for wid in sorted(window_scenes, key=int):
+        w = int(wid)
+        scene_w, window = window_scenes[wid]
+        lo = w * share
+        hi = V if w == n_win - 1 else min((w + 1) * share, V)
+        if lo >= hi:
+            continue
+        view = ValSliceView(
+            val_dataset, lo, hi, t_offset=window[0], window_len=len(window)
+        )
+        validator.scene = scene_w
+        subdir = osp.join(f"win_{window[0]:02d}{window[-1] + 1:02d}",
+                          "rgb_test_optim")
+        for i in range(len(view)):
+            item = view.get_item(i)
+            validator.validate_frame_with_pose_opt(
+                pose_opt,
+                int(item["ts"]),
+                jnp.asarray(np.asarray(item["w2cs"])),
+                jnp.asarray(np.asarray(item["Ks"])),
+                jnp.asarray(np.asarray(item["imgs"])),
+                jnp.asarray(np.asarray(item["masks"])),
+                jnp.asarray(np.asarray(item["valid_masks"])),
+                frame_name=str(item["frame_names"]),
+                subdir=subdir,
+                with_metrics=(lo + i) % 2 == 1,  # held-out odd frames only
+            )
     return validator.compute()
 
 
@@ -397,29 +615,46 @@ def render_sharp_frames(scene: SceneModel, dataset, cfg: PipelineConfig,
 
 
 def train_low(train_dataset, val_dataset, cfg: PipelineConfig, writer=None,
-              num_phaseB_windows: int | None = None):
+              num_phaseB_windows: int | None = None, viewer=None):
     """Full pipeline in one process (train_low.py:18-25 analog).
 
     Stage 2 mirrors the reference's two-scale schedule: phase A at 4x
     downsampling over the full clip, then phase B per adaptive window at
-    full resolution with phase-A sharp renders as multires guidance
-    (run_training_dynamic.py:135-564).
+    full resolution with phase-A sharp renders as multires guidance and
+    stage-1 deblurred bg renders as static-reg targets
+    (run_training_dynamic.py:135-564). Testing evaluates each window's
+    model on its own val slice and aggregates held-out-frame metrics
+    across windows (run_testing.py + run_compute_metrics.py).
     """
     from deblur4dgs_tpu.data.views import DownsampleView, WindowView
 
     os.makedirs(cfg.work_dir, exist_ok=True)
     dump_run_artifacts(cfg)
+    flow_fn = make_flow_fn(cfg)
 
     # Stage 1: static (bg + camera-motion predictor).
     scene0, bg_scale = initialize_scene(train_dataset, cfg)
     static_scene = train_static_stage(
-        train_dataset, scene0, cfg, bg_scale, writer=writer
+        train_dataset, scene0, cfg, bg_scale, writer=writer,
+        val_view=val_dataset, viewer=viewer,
     )
 
-    # Stage 2 phase A: 4x-downsampled, full clip.
+    # Stage-1 deblurred bg renders: the static-reg (batch3) targets for
+    # BOTH stage-2 phases (run_training_dynamic.py:238-302, :448-486 load
+    # these from the stage-1 run's results/rgb_deblur_mid PNGs; we render
+    # in-memory — bg-only, since stage 1 only trained the bg + camera).
     ds_x4 = DownsampleView(train_dataset, 4)
+    reg_full = render_sharp_frames(static_scene, train_dataset, cfg,
+                                   bg_only=True)
+    reg_x4 = render_sharp_frames(static_scene, ds_x4, cfg, bg_only=True)
+
+    # Stage 2 phase A: 4x-downsampled, full clip.
     sceneA, _ = initialize_scene(ds_x4, cfg, static_scene=static_scene)
-    sceneA = train_dynamic_stage(ds_x4, sceneA, cfg, bg_scale, writer=writer)
+    sceneA = train_dynamic_stage(
+        ds_x4, sceneA, cfg, bg_scale, reg_imgs=reg_x4, writer=writer,
+        tag="dynamicA", val_view=val_dataset, flow_fn=flow_fn,
+        viewer=viewer,
+    )
 
     # Phase-A sharp outputs at 1/4 res as multires guidance for phase B.
     guide_imgs = render_sharp_frames(sceneA, ds_x4, cfg)
@@ -432,9 +667,15 @@ def train_low(train_dataset, val_dataset, cfg: PipelineConfig, writer=None,
     )
     n_win = num_phaseB_windows
     if n_win is None:
-        n_win = max(len(scores) // 5, 1)
+        # ceil(T/5): the reference always covers every frame with a base
+        # window (5 windows for T=24, run_training_dynamic.py:78)
+        n_win = max(-(-len(scores) // 5), 1)
     slides, score_dict = adaptive_slides(scores, num_windows=n_win)
 
+    from deblur4dgs_tpu.data.views import ValSliceView  # noqa: F401
+
+    V = len(val_dataset)
+    ratio = max(V // max(len(train_dataset), 1), 1)
     window_scenes = {}
     for wid, window in slides.items():
         wds = WindowView(train_dataset, window, seed=cfg.seed)
@@ -447,12 +688,24 @@ def train_low(train_dataset, val_dataset, cfg: PipelineConfig, writer=None,
             g = jnp.asarray(guide_imgs[_w[i]])[None]
             return g
 
+        # mid-training validation over this window's val slice
+        lo_v = window[0] * ratio
+        hi_v = min((window[-1] + 1) * ratio, V)
+        val_view_w = ValSliceView(
+            val_dataset, lo_v, hi_v, t_offset=window[0],
+            window_len=len(window),
+        )
         sceneW = train_dynamic_stage(
             wds, sceneW, cfg, bg_scale, batch4_provider=batch4_provider,
-            writer=writer,
+            reg_imgs=reg_full[window], writer=writer,
+            tag=f"win_{window[0]:02d}{window[-1] + 1:02d}",
+            val_view=val_view_w, flow_fn=flow_fn, viewer=viewer,
         )
         window_scenes[wid] = (sceneW, window)
 
-    # Stage 3: per-window testing with pose refinement (run_testing.py).
-    metrics = run_testing(val_dataset, sceneA, cfg)
+    # Stage 3+4: per-window testing with pose refinement, held-out-frame
+    # metrics aggregated across windows.
+    metrics = run_testing_windows(
+        val_dataset, window_scenes, cfg, train_num_frames=len(train_dataset)
+    )
     return sceneA, window_scenes, metrics, slides

@@ -95,6 +95,7 @@ class TrainLoop:
         log_every: int = 10,
         writer=None,
         seed: int = 0,
+        viewer=None,  # TrainingViewer: live rendering + pause cooperation
     ):
         self.state = state
         self.ocfg = ocfg
@@ -110,6 +111,9 @@ class TrainLoop:
         self.rng = random.Random(seed)
         self.losses: list = []  # device scalars; coerce via float() lazily
         self._rays_per_sec = 0.0
+        self.viewer = viewer
+        if viewer is not None:
+            viewer.set_scene(state.scene, num_window_frames)
 
         self.step_fn = make_train_step(
             optimizer, lcfg, rcfg, stage, num_window_frames,
@@ -121,26 +125,49 @@ class TrainLoop:
     def train_step(self, batch_static, batch_dyn, tracks, batch_reg,
                    batch4_imgs=None):
         tic = time.time()
-        self.state, loss, aux = self.step_fn(
-            self.state, jnp.asarray(self.epoch), batch_static, batch_dyn,
-            tracks, batch_reg, batch4_imgs,
-        )
+        if self.viewer is not None:
+            # cooperate with the interactive viewer (trainer.py:204-207,
+            # :265-269): honor pause, serialize with in-flight renders
+            while self.viewer.state.status == "paused":
+                time.sleep(0.05)
+            with self.viewer.lock:
+                self.state, loss, aux = self.step_fn(
+                    self.state, jnp.asarray(self.epoch), batch_static,
+                    batch_dyn, tracks, batch_reg, batch4_imgs,
+                )
+                self.viewer.set_scene(self.state.scene)
+        else:
+            self.state, loss, aux = self.step_fn(
+                self.state, jnp.asarray(self.epoch), batch_static, batch_dyn,
+                tracks, batch_reg, batch4_imgs,
+            )
         # Keep the loss on device: a float() here forces a host round trip
         # every step (~60 ms through a remote-device tunnel, and a pipeline
         # bubble everywhere). It is read back only at log cadence — the
         # NaN check (reference trainer.py:226-230) moves there too.
         self.losses.append(loss)
         self.global_step += 1
+        if self.viewer is not None:
+            b = batch_static or batch_dyn or batch_reg
+            if b is not None:
+                B, H, W = b.imgs.shape[:3]
+                self.viewer.update(
+                    self.global_step, H * W * B / max(time.time() - tic, 1e-6)
+                )
 
         self._maybe_control()
-        if self.writer is not None and self.global_step % self.log_every == 0:
+        if self.global_step % self.log_every == 0:
+            # The NaN trap runs at log cadence regardless of whether a
+            # writer is attached (the reference traps every step,
+            # trainer.py:226-230; we batch the device->host sync).
             loss = float(loss)
             if not np.isfinite(loss):
                 raise FloatingPointError(
                     f"non-finite loss {loss} at step {self.global_step}"
                 )
-            self._log(loss, aux, time.time() - tic,
-                      batch_static or batch_dyn or batch_reg)
+            if self.writer is not None:
+                self._log(loss, aux, time.time() - tic,
+                          batch_static or batch_dyn or batch_reg)
         if (
             self.checkpoint_every
             and self.global_step % self.checkpoint_every == 0

@@ -154,6 +154,7 @@ def compute_static_losses(
             use_pallas=rcfg.use_pallas, means2d_tap=tap,
             bucketed=rcfg.bucketed,
             camera_mode=rcfg.camera_mode,
+            max_tiles_per_gauss=rcfg.max_tiles_per_gauss,
             subframe_sharding=subframe_sharding,
             tile_mesh=tile_mesh,
             return_exposure_stack=False,
@@ -163,6 +164,7 @@ def compute_static_losses(
             "depth": out["depth"],
             "poses": out["poses"],
             "radii": out["radii"],
+            "tile_overflow": out["tile_overflow"],
         }
         return carry, keep
 
@@ -220,6 +222,7 @@ def compute_static_losses(
         "depth_l1": depth_l1,
         "depth_grad": grad_l,
         "pose_cont": cont,
+        "tile_overflow": jnp.mean(outs["tile_overflow"]),
     }
     return loss, aux
 
@@ -255,6 +258,7 @@ def compute_dynamic_losses(
         use_pallas=rcfg.use_pallas, means2d_tap=taps[0],
         bucketed=rcfg.bucketed,
         camera_mode=rcfg.camera_mode,
+        max_tiles_per_gauss=rcfg.max_tiles_per_gauss,
         subframe_sharding=subframe_sharding,
         tile_mesh=tile_mesh,
         return_exposure_stack=flow_fn is not None,
@@ -405,6 +409,7 @@ def compute_dynamic_losses(
         "z_accel": z_accel,
         "exp_reg": exp_reg,
         "delta_t": dt,
+        "tile_overflow": out["tile_overflow"],
     }
     return loss, aux
 
@@ -586,6 +591,7 @@ def compute_static_reg_losses(
             use_pallas=rcfg.use_pallas, means2d_tap=tap,
             bucketed=rcfg.bucketed,
             camera_mode=rcfg.camera_mode,
+            max_tiles_per_gauss=rcfg.max_tiles_per_gauss,
             subframe_sharding=subframe_sharding,
             tile_mesh=tile_mesh,
         )

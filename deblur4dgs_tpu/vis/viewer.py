@@ -145,3 +145,40 @@ class DynamicViewer:
         else:
             self._server.serve_forever()
         return self._server
+
+
+class TrainingViewer(DynamicViewer):
+    """Live viewer attached to a running TrainLoop (trainer.py:180-207,
+    :265-269 parity): renders sharp mid-exposure views from the CURRENT
+    training scene under the viewer lock; the train loop holds the same
+    lock during each optimization step so renders always see a consistent
+    scene, and honors state.status == 'paused'."""
+
+    def __init__(self, num_frames: int, img_wh=(512, 288), port: int = 8890,
+                 num_exposure: int = 11, cap: int = 512,
+                 use_pallas: bool = True):
+        from deblur4dgs_tpu.vis.renderer import Renderer
+
+        self._renderer = Renderer(
+            None, num_frames, num_exposure=num_exposure, cap=cap,
+            use_pallas=use_pallas,
+        )
+        super().__init__(self._render, num_frames, img_wh, port,
+                         mode="training")
+
+    def set_scene(self, scene, num_frames: int | None = None):
+        """Called by the train loop (holding self.lock) after each step."""
+        self._renderer.scene = scene
+        if num_frames is not None:
+            self.num_frames = num_frames
+            self._renderer.num_frames = num_frames
+
+    def _render(self, camera_state, img_wh, t):
+        if self._renderer.scene is None:
+            W, H = img_wh
+            return np.zeros((H, W, 3), np.uint8)
+        t = None if t is None else min(int(t), self.num_frames - 1)
+        return self._renderer.render_fn(camera_state, img_wh, t)
+
+    def update(self, step: int, num_rays_per_sec: float):
+        self.state.num_train_rays_per_sec = num_rays_per_sec

@@ -71,3 +71,98 @@ class TestTileSharding:
             np.testing.assert_allclose(
                 np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-4
             )
+
+
+def _train_inputs(rng_seed=0):
+    from deblur4dgs_tpu.train.trainer import FrameBatch, TrackBatch
+
+    rng = np.random.default_rng(rng_seed)
+
+    def fb(b):
+        return FrameBatch(
+            ts=jnp.arange(2, 2 + b, dtype=jnp.int32),
+            w2cs=jnp.broadcast_to(EYE4, (b, 4, 4)),
+            Ks=jnp.broadcast_to(K, (b, 3, 3)),
+            imgs=jnp.asarray(
+                rng.uniform(0, 1, (b, H, W, 3)).astype(np.float32)
+            ),
+            masks=jnp.asarray(
+                (rng.uniform(size=(b, H, W)) < 0.3).astype(np.float32)
+            ),
+            valid_masks=jnp.ones((b, H, W)),
+            depths=jnp.asarray(
+                rng.uniform(1, 5, (b, H, W)).astype(np.float32)
+            ),
+        )
+
+    P = 16
+    tracks = TrackBatch(
+        query_tracks_2d=jnp.asarray(
+            np.stack([rng.integers(0, W, P), rng.integers(0, H, P)], -1)
+            .astype(np.float32)
+        ),
+        target_ts=jnp.asarray([1, 3], jnp.int32),
+        target_w2cs=jnp.broadcast_to(EYE4, (2, 4, 4)),
+        target_Ks=jnp.broadcast_to(K, (2, 3, 3)),
+        target_tracks_2d=jnp.asarray(
+            rng.uniform(0, W, (2, P, 2)).astype(np.float32)
+        ),
+        target_visibles=jnp.ones((2, P)),
+        target_confidences=jnp.ones((2, P)),
+        target_track_depths=jnp.asarray(
+            rng.uniform(1, 5, (2, P)).astype(np.float32)
+        ),
+    )
+    return fb, tracks
+
+
+class TestFullTrainStepSharded:
+    """VERDICT r1 item 4b: the FULL jitted train step (all three loss
+    branches + optimizer + density stats) over the tile-sharded Pallas
+    compositor must match the unsharded step."""
+
+    def _run_step(self, tile_mesh):
+        from deblur4dgs_tpu.configs import (
+            LossesConfig,
+            OptimizerConfig,
+            RenderConfig,
+            SceneLRConfig,
+        )
+        from deblur4dgs_tpu.train.optimizers import make_optimizer
+        from deblur4dgs_tpu.train.trainer import (
+            init_train_state,
+            make_train_step,
+        )
+
+        scene = make_scene()
+        lr, ocfg, lcfg = SceneLRConfig(), OptimizerConfig(), LossesConfig()
+        rcfg = RenderConfig(num_exposure=3, tile_cap=256)
+        state = init_train_state(scene, lr, ocfg)
+        step = make_train_step(
+            make_optimizer(scene, lr, ocfg), lcfg, rcfg, "second", 8,
+            has_static=True, has_dynamic=True, has_reg=True,
+            tile_mesh=tile_mesh,
+        )
+        fb, tracks = _train_inputs()
+        state, loss, _ = step(
+            state, jnp.asarray(25), fb(3), fb(1), tracks, fb(2), None
+        )
+        jax.block_until_ready(loss)
+        return state, float(loss)
+
+    def test_step_matches_unsharded(self, mesh):
+        s0, l0 = self._run_step(None)
+        s1, l1 = self._run_step(mesh)
+        assert np.isfinite(l0)
+        np.testing.assert_allclose(l1, l0, rtol=1e-4)
+        for a, b in zip(
+            jax.tree.leaves(s1.scene), jax.tree.leaves(s0.scene)
+        ):
+            scale = float(jnp.max(jnp.abs(np.asarray(b)))) + 1e-8
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-4
+            )
+        # density stats (per-gaussian psum'd reductions) must agree too
+        np.testing.assert_allclose(
+            np.asarray(s1.stats.vis_count), np.asarray(s0.stats.vis_count)
+        )
