@@ -42,6 +42,8 @@ def _add_train(sub):
     p.add_argument("--pose-opt-iters", type=int, default=500)
     p.add_argument("--flow-weights", default=None,
                    help="PWC-Net .pth for the exposure-consistency loss")
+    p.add_argument("--lpips-weights", default=None,
+                   help="LPIPS 'backbone.pth,lins.pth' for metrics")
     p.add_argument("--no-resume", action="store_true",
                    help="ignore existing stage checkpoints")
     p.add_argument("--viewer-port", type=int, default=None,
@@ -60,8 +62,13 @@ def _add_train(sub):
 
 def _add_metrics(sub):
     p = sub.add_parser("metrics", help="PSNR/SSIM over rendered results")
-    p.add_argument("--result-dir", required=True)
-    p.add_argument("--gt-dir", required=True)
+    p.add_argument("--result-dir", required=True,
+                   help="flat render dir, or a results/ root containing "
+                   "per-window win_*/rgb_test_optim dirs")
+    p.add_argument("--gt-dir", default=None,
+                   help="GT frames; defaults to colocated *_gt.png files")
+    p.add_argument("--lpips-weights", default=None,
+                   help="LPIPS 'backbone.pth,lins.pth' (optional)")
 
 
 def _add_ckpt_args(p):
@@ -176,6 +183,7 @@ def main(argv=None):
             save_videos_every=args.save_videos_every,
             pose_opt_iters=args.pose_opt_iters,
             flow_weights=args.flow_weights,
+            lpips_weights=args.lpips_weights,
             resume=not args.no_resume,
             render=RenderConfig(
                 num_exposure=args.num_exposure,
@@ -205,10 +213,20 @@ def main(argv=None):
             json.dump({k: float(v) for k, v in metrics.items()}, f)
 
     elif args.cmd == "metrics":
-        from deblur4dgs_tpu.pipeline import compute_scene_metrics
+        from deblur4dgs_tpu.pipeline import (
+            PipelineConfig,
+            compute_scene_metrics,
+            make_lpips_fn,
+        )
 
+        lpips_fn = make_lpips_fn(
+            PipelineConfig(work_dir="", lpips_weights=args.lpips_weights)
+        )
         print(json.dumps(
-            compute_scene_metrics(args.result_dir, args.gt_dir), indent=2
+            compute_scene_metrics(
+                args.result_dir, args.gt_dir, lpips_fn=lpips_fn
+            ),
+            indent=2,
         ))
 
     elif args.cmd == "view":

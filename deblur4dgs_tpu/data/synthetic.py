@@ -293,12 +293,81 @@ class SyntheticSceneAdapter:
 
 def generate_dataset(
     scene: SyntheticScene, num_blur_samples: int = 7, num_tracks: int = 64,
-    seed: int = 0,
+    seed: int = 0, fast_renderer: bool = False,
 ) -> SyntheticDataset:
+    """fast_renderer=False (default) renders through the pure-JAX oracle,
+    keeping dataset quality independent of the kernels under test (unit
+    tests). fast_renderer=True renders through the production tiled path —
+    required at realistic scene sizes where the dense oracle is orders of
+    magnitude slower (the kernels are oracle-verified to 1e-6 separately,
+    so the supervision content is the same)."""
     T = scene.w2cs.shape[0]
     W, H = scene.img_wh
     rng = np.random.default_rng(seed)
     track_ids = rng.choice(scene.fg.capacity, size=num_tracks, replace=False)
+    nfg = scene.fg.capacity
+
+    # Jit the per-frame renders once: at realistic sizes the generation
+    # loop makes hundreds of render calls, and eager per-op dispatch
+    # (especially through a remote-device tunnel) dwarfs the device time.
+    if fast_renderer:
+        from deblur4dgs_tpu.models.move_model import init_move_model
+        from deblur4dgs_tpu.models.scene import SceneModel
+        from deblur4dgs_tpu.models.scene import render as scene_render
+
+        # zero-init move model => identity exposure residual, and
+        # stage='first' forces deltaT=0: mode='mid' with S=1 renders the GT
+        # gaussians at exactly time tf through the production tile path
+        sm = SceneModel(
+            fg=scene.fg._replace(alive=jnp.ones((nfg,), jnp.float32)),
+            bg=scene.bg._replace(
+                alive=jnp.ones((scene.bg.capacity,), jnp.float32)
+            ),
+            bases=scene.bases,
+            move=init_move_model(jax.random.PRNGKey(0), num_frames=T),
+        )
+
+        @jax.jit
+        def frame_at(tf, w2c, K):
+            out = scene_render(
+                sm, tf, w2c, K, scene.img_wh, mode="mid", stage="first",
+                return_mask=True, return_depth=True, bg_color=1.0,
+                num_exposure=1, cap=1024,
+            )
+            return out["img"], out["mask"][..., 0], out["depth"][..., 0]
+
+        def rgb_at(tf, w2c, K):
+            return frame_at(tf, w2c, K)[0]
+
+        def mask_depth_at(tf, w2c, K):
+            _, m, d = frame_at(tf, w2c, K)
+            # match the oracle branch's (out[..., 0], out[..., 1]/alpha)
+            return jnp.stack([m, d], -1), jnp.ones_like(m)
+    else:
+
+        @jax.jit
+        def rgb_at(tf, w2c, K):
+            means, quats, scales, opac, colors = gt_gaussians_at(scene, tf)
+            img, _ = render_ref(
+                means, quats, scales, opac, colors, w2c, K, scene.img_wh,
+                1.0,
+            )
+            return img
+
+        @jax.jit
+        def mask_depth_at(tf, w2c, K):
+            means, quats, scales, opac, _ = gt_gaussians_at(scene, tf)
+            maskv = jnp.concatenate(
+                [jnp.ones((nfg, 1)), jnp.zeros((means.shape[0] - nfg, 1))],
+                0,
+            )
+            proj = project(means, quats, scales, w2c, K, scene.img_wh)
+            ch = jnp.concatenate([maskv, proj.depths[:, None]], -1)
+            out, alpha = render_ref(
+                means, quats, scales, opac, ch, w2c, K, scene.img_wh,
+                jnp.zeros(2),
+            )
+            return out, alpha
 
     imgs, sharps, masks, depths = [], [], [], []
     tracks3, tracks2, tdepths, tvis = [], [], [], []
@@ -309,25 +378,15 @@ def generate_dataset(
         ts = np.linspace(i - scene.exposure, i + scene.exposure, num_blur_samples)
         ts = np.clip(ts, 0, T - 1)
         for tf in ts:
-            img, _ = render_frame(scene, float(tf), w2c, K)
+            img = rgb_at(jnp.asarray(tf, jnp.float32), w2c, K)
             acc = img if acc is None else acc + img
         imgs.append(acc / num_blur_samples)
 
-        sharp, _ = render_frame(scene, float(i), w2c, K)
+        sharp = rgb_at(jnp.asarray(i, jnp.float32), w2c, K)
         sharps.append(sharp)
 
         # fg mask + depth via channel multiplexing at mid-exposure
-        means, quats, scales, opac, colors = gt_gaussians_at(scene, float(i))
-        nfg = scene.fg.capacity
-        maskv = jnp.concatenate(
-            [jnp.ones((nfg, 1)), jnp.zeros((means.shape[0] - nfg, 1))], 0
-        )
-        proj = project(means, quats, scales, w2c, K, scene.img_wh)
-        ch = jnp.concatenate([maskv, proj.depths[:, None]], -1)
-        out, alpha = render_ref(
-            means, quats, scales, opac, ch, w2c, K, scene.img_wh,
-            jnp.zeros(2),
-        )
+        out, alpha = mask_depth_at(jnp.asarray(i, jnp.float32), w2c, K)
         masks.append((out[..., 0] > 0.5).astype(np.float32))
         depths.append(out[..., 1] / np.maximum(np.asarray(alpha), 1e-6))
 

@@ -105,6 +105,26 @@ class Validator:
         self.bg_psnr = M.mPSNR()
         self.bg_ssim = M.mSSIM()
         self.lpips_scores: list[float] = []
+        self._render_jits: dict = {}
+
+    def _render_sharp(self, t, w2c, K, img_wh, num_exposure, cap,
+                      use_pallas, return_depth=False, return_mask=False):
+        """Cached jitted mid-exposure render: per-frame eager dispatch
+        through a remote-device tunnel costs far more than the render."""
+        key = (img_wh, num_exposure, cap, use_pallas, return_depth,
+               return_mask)
+        if key not in self._render_jits:
+            self._render_jits[key] = jax.jit(
+                lambda scene, t, w2c, K: render(
+                    scene, t, w2c, K, img_wh, mode="mid", stage="second",
+                    num_exposure=num_exposure, cap=cap,
+                    use_pallas=use_pallas, return_depth=return_depth,
+                    return_mask=return_mask,
+                )
+            )
+        return self._render_jits[key](
+            self.scene, jnp.asarray(t, jnp.float32), w2c, K
+        )
 
     def _save(self, subdir, name, img):
         if self.save_dir is None:
@@ -140,9 +160,8 @@ class Validator:
         subdir="rgb_deblur_mid",
     ):
         """Sharp mid-exposure render + metrics (validator.py:83-124)."""
-        out = render(
-            self.scene, t, w2c, K, img_wh, mode="mid", stage="second",
-            num_exposure=num_exposure, cap=cap, use_pallas=use_pallas,
+        out = self._render_sharp(
+            t, w2c, K, img_wh, num_exposure, cap, use_pallas
         )
         self.update_metrics(out["img"], gt_img, fg_mask, valid_mask)
         self._save(subdir, f"{frame_name}_img", out["img"])
@@ -201,12 +220,12 @@ class Validator:
         W, H = dataset.get_img_wh()
         rgbs, depths, masks = [], [], []
         for i in range(len(dataset)):
-            out = render(
-                self.scene, i,
+            out = self._render_sharp(
+                i,
                 jnp.asarray(np.asarray(dataset.w2cs[i])),
-                jnp.asarray(np.asarray(dataset.Ks[i])), (W, H), mode="mid",
-                stage="second", return_depth=True, return_mask=True,
-                num_exposure=num_exposure, cap=cap, use_pallas=use_pallas,
+                jnp.asarray(np.asarray(dataset.Ks[i])),
+                (W, H), num_exposure, cap, use_pallas,
+                return_depth=True, return_mask=True,
             )
             rgbs.append(np.asarray(out["img"]))
             depths.append(

@@ -75,11 +75,19 @@ def rasterize_ref(
     background: jnp.ndarray,  # (D,)
     img_wh: tuple[int, int],
     use_radius_cutoff: bool = True,
+    pix_chunk: int | None = None,
 ):
     """Rasterize projected gaussians to a full image.
 
+    Pixels are processed in lax.map chunks bounding the (P, G) working set
+    (the dense mask is the oracle's memory hog — a 512x288 render of 11k
+    gaussians would otherwise materialize several (147k, 11k) arrays).
+    Per-pixel math is unchanged by the chunking.
+
     Returns (img (H, W, D), alpha (H, W)).
     """
+    import jax
+
     W, H = img_wh
     key = jnp.where(proj.valid, proj.depths, jnp.inf)
     order = jnp.argsort(key, stable=True)
@@ -96,10 +104,29 @@ def rasterize_ref(
         indexing="ij",
     )
     pix = jnp.stack([xs.ravel(), ys.ravel()], axis=-1)  # (P, 2), x first
-    out, alpha = composite_pixels(
-        pix, means2d, conics, ops, alive, chans, background, radii
-    )
+    P = H * W
+    G = means2d.shape[0]
     D = channels.shape[-1]
+    if pix_chunk is None:
+        pix_chunk = max(min(P, (1 << 26) // max(G, 1)), 256)
+
+    if P <= pix_chunk:
+        out, alpha = composite_pixels(
+            pix, means2d, conics, ops, alive, chans, background, radii
+        )
+        return out.reshape(H, W, D), alpha.reshape(H, W)
+
+    nb = -(-P // pix_chunk)
+    pad = nb * pix_chunk - P
+    pix_p = jnp.pad(pix, ((0, pad), (0, 0))).reshape(nb, pix_chunk, 2)
+    out, alpha = jax.lax.map(
+        lambda p: composite_pixels(
+            p, means2d, conics, ops, alive, chans, background, radii
+        ),
+        pix_p,
+    )
+    out = out.reshape(nb * pix_chunk, D)[:P]
+    alpha = alpha.reshape(nb * pix_chunk)[:P]
     return out.reshape(H, W, D), alpha.reshape(H, W)
 
 

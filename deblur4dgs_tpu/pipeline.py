@@ -135,6 +135,10 @@ class PipelineConfig:
     # pwcnet-network-default.pth, or 'random' (untrained net — tests only).
     # None disables the loss, matching runs without the flow checkpoint.
     flow_weights: str | None = None
+    # Optional LPIPS(alex) weights for the metrics stage
+    # (run_compute_metrics.py:26): 'backbone.pth,lins.pth' torch
+    # checkpoints, or 'random' (tests only). None = PSNR/SSIM only.
+    lpips_weights: str | None = None
     resume: bool = True  # restore stages from their checkpoints if present
     checkpoint_every: int = 200  # steps between in-stage checkpoints
     lr: SceneLRConfig = field(default_factory=SceneLRConfig)
@@ -269,6 +273,38 @@ def make_flow_fn(cfg: PipelineConfig):
     else:
         params = P.load_torch_weights(cfg.flow_weights)
     return P.make_aligned_loss_fn(params)
+
+
+def make_lpips_fn(cfg: PipelineConfig):
+    """LPIPS(alex) scorer for the metrics stage (run_compute_metrics.py:26,
+    76-77). Accepts (H, W, 3) or (B, H, W, 3) pairs in [0, 1]."""
+    if cfg.lpips_weights is None:
+        return None
+    from deblur4dgs_tpu.eval import lpips as LP
+
+    if cfg.lpips_weights == "random":
+        params = LP.init_lpips(jax.random.PRNGKey(cfg.seed))
+    else:
+        import torch
+
+        backbone_path, lins_path = cfg.lpips_weights.split(",")
+        params = LP.load_lpips_torch(
+            torch.load(backbone_path, map_location="cpu"),
+            torch.load(lins_path, map_location="cpu"),
+        )
+
+    @jax.jit
+    def score(a, b):
+        return jnp.mean(LP.lpips(params, a, b))
+
+    def fn(a, b):
+        a = jnp.asarray(a)
+        b = jnp.asarray(b)
+        if a.ndim == 3:
+            a, b = a[None], b[None]
+        return score(a, b)
+
+    return fn
 
 
 def _maybe_resume(loop: TrainLoop, stage_dir: str, cfg: PipelineConfig) -> int:
@@ -489,6 +525,24 @@ def run_testing(
     return validator.compute()
 
 
+def val_partition(
+    num_val: int, n_win: int, train_num_frames: int, base: int = 5
+) -> list[tuple[int, int]]:
+    """Contiguous per-window val-frame slices [lo, hi).
+
+    Generalizes run_compute_metrics.py:36-52's hardcoded table: window w
+    owns base * (val/train frame-rate ratio) val frames, the last window
+    the tail (48 val frames / 5 windows -> 10,10,10,10,8)."""
+    ratio = max(num_val // max(train_num_frames, 1), 1)
+    share = base * ratio
+    out = []
+    for w in range(n_win):
+        lo = min(w * share, num_val)
+        hi = num_val if w == n_win - 1 else min((w + 1) * share, num_val)
+        out.append((lo, hi))
+    return out
+
+
 def run_testing_windows(
     val_dataset, window_scenes: dict, cfg: PipelineConfig,
     train_num_frames: int, base: int = 5, lpips_fn=None,
@@ -511,8 +565,7 @@ def run_testing_windows(
     W, H = val_dataset.get_img_wh()
     V = len(val_dataset)
     n_win = len(window_scenes)
-    ratio = max(V // max(train_num_frames, 1), 1)
-    share = base * ratio
+    slices = val_partition(V, n_win, train_num_frames, base)
     pose_opt = make_pose_opt_fn(
         (W, H), num_iters=cfg.pose_opt_iters,
         num_exposure=cfg.render.num_exposure, cap=cfg.render.tile_cap,
@@ -528,8 +581,7 @@ def run_testing_windows(
     for wid in sorted(window_scenes, key=int):
         w = int(wid)
         scene_w, window = window_scenes[wid]
-        lo = w * share
-        hi = V if w == n_win - 1 else min((w + 1) * share, V)
+        lo, hi = slices[w]
         if lo >= hi:
             continue
         view = ValSliceView(
@@ -556,30 +608,51 @@ def run_testing_windows(
 
 
 def compute_scene_metrics(
-    result_dir: str, gt_dir: str, lpips_fn=None
+    result_dir: str, gt_dir: str | None = None, lpips_fn=None
 ) -> dict:
     """Stage 4 (run_compute_metrics.py:22-86): pair rendered/gt frames,
-    keep odd-indexed (held-out mid-exposure) frames, average metrics."""
+    keep odd-indexed (held-out mid-exposure) frames, average metrics.
+
+    result_dir may be either a flat directory of {name}.png renders or a
+    work_dir results/ root containing per-window win_*/rgb_test_optim
+    subdirectories (the reference walks the per-window clip dirs in window
+    order, run_compute_metrics.py:36-52). gt frames come from gt_dir when
+    given, else from the colocated {name}_gt.png files the testing stage
+    writes."""
     import imageio.v3 as iio
 
     from deblur4dgs_tpu.eval import metrics as M
 
-    names = sorted(
-        f[:-4] for f in os.listdir(result_dir)
-        if f.endswith(".png") and not f.endswith("_gt.png")
+    win_dirs = sorted(
+        d for d in os.listdir(result_dir)
+        if d.startswith("win_")
+        and osp.isdir(osp.join(result_dir, d, "rgb_test_optim"))
     )
+    if win_dirs:
+        dirs = [osp.join(result_dir, d, "rgb_test_optim") for d in win_dirs]
+    else:
+        dirs = [result_dir]
+    files = []
+    for d in dirs:
+        files += sorted(
+            (d, f[:-4]) for f in os.listdir(d)
+            if f.endswith(".png") and not f.endswith("_gt.png")
+        )
+
     psnrs, ssims, lpipss = [], [], []
-    for i, name in enumerate(names):
+    for i, (d, name) in enumerate(files):
         if i % 2 == 0:  # odd-indexed frames only (run_compute_metrics.py:60)
             continue
         pred = jnp.asarray(
-            iio.imread(osp.join(result_dir, f"{name}.png")).astype(np.float32)
+            iio.imread(osp.join(d, f"{name}.png")).astype(np.float32)
             / 255.0
         )
-        gt = jnp.asarray(
-            iio.imread(osp.join(gt_dir, f"{name}.png")).astype(np.float32)
-            / 255.0
+        gt_path = (
+            osp.join(gt_dir, f"{name}.png")
+            if gt_dir is not None
+            else osp.join(d, f"{name}_gt.png")
         )
+        gt = jnp.asarray(iio.imread(gt_path).astype(np.float32) / 255.0)
         psnrs.append(M.compute_psnr(pred, gt))
         ssims.append(float(M.masked_ssim(pred, gt)))
         if lpips_fn is not None:
@@ -594,23 +667,34 @@ def render_sharp_frames(scene: SceneModel, dataset, cfg: PipelineConfig,
                         bg_only=False, downsample=1):
     """Mid-exposure renders of every frame (used as phase-A multires
     guidance / stage-1 static-reg targets, run_training_dynamic.py:211-284
-    — the reference round-trips these through PNGs on disk)."""
+    — the reference round-trips these through PNGs on disk).
+
+    One jitted render reused across frames: eager per-op dispatch through
+    the remote-device tunnel costs ~100x the device time of these renders.
+    """
     from deblur4dgs_tpu.train.trainer import downsample_area
 
     W, H = dataset.get_img_wh()
-    outs = []
-    for i in range(len(dataset)):
+
+    @jax.jit
+    def rfn(scene, t, w2c, K):
         out = render(
-            scene, i, jnp.asarray(np.asarray(dataset.w2cs[i])),
-            jnp.asarray(np.asarray(dataset.Ks[i])), (W, H), mode="mid",
-            stage="second", bg_only=bg_only,
-            num_exposure=cfg.render.num_exposure, cap=cfg.render.tile_cap,
-            use_pallas=cfg.render.use_pallas,
+            scene, t, w2c, K, (W, H), mode="mid", stage="second",
+            bg_only=bg_only, num_exposure=cfg.render.num_exposure,
+            cap=cfg.render.tile_cap, use_pallas=cfg.render.use_pallas,
         )
         img = out["img"]
         if downsample > 1:
             img = downsample_area(img, downsample)
-        outs.append(np.asarray(img))
+        return img
+
+    outs = []
+    for i in range(len(dataset)):
+        outs.append(np.asarray(rfn(
+            scene, jnp.asarray(i, jnp.float32),
+            jnp.asarray(np.asarray(dataset.w2cs[i])),
+            jnp.asarray(np.asarray(dataset.Ks[i])),
+        )))
     return np.stack(outs)
 
 
@@ -706,6 +790,7 @@ def train_low(train_dataset, val_dataset, cfg: PipelineConfig, writer=None,
     # Stage 3+4: per-window testing with pose refinement, held-out-frame
     # metrics aggregated across windows.
     metrics = run_testing_windows(
-        val_dataset, window_scenes, cfg, train_num_frames=len(train_dataset)
+        val_dataset, window_scenes, cfg,
+        train_num_frames=len(train_dataset), lpips_fn=make_lpips_fn(cfg),
     )
     return sceneA, window_scenes, metrics, slides

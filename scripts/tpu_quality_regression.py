@@ -82,6 +82,7 @@ def main():
     sdata = synthetic.generate_dataset(
         sscene, num_blur_samples=blur_samples,
         num_tracks=min(128, num_fg),
+        fast_renderer=not args.small,  # dense oracle is too slow at scale
     )
     train_ds = synthetic.SyntheticSceneAdapter(sscene, sdata, seed=0)
     val_ds = synthetic.SyntheticSceneAdapter(sscene, sdata, seed=0,

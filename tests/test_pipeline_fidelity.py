@@ -411,3 +411,82 @@ class TestTrainingViewer:
         assert viewer.state.num_train_rays_per_sec > 0
         # the viewer renders the CURRENT training scene object
         assert viewer._renderer.scene is loop.state.scene
+
+
+class TestLpipsWiring:
+    def test_lpips_fn_scores_and_feeds_metrics(self, adapter, tmp_path):
+        cfg = tiny_cfg(tmp_path, lpips_weights="random")
+        fn = PL.make_lpips_fn(cfg)
+        rng = np.random.default_rng(0)
+        a = rng.uniform(0, 1, (32, 48, 3)).astype(np.float32)
+        b = rng.uniform(0, 1, (32, 48, 3)).astype(np.float32)
+        same = float(fn(a, a))
+        diff = float(fn(a, b))
+        assert same == pytest.approx(0.0, abs=1e-5)
+        assert diff > same
+        # flows into the validator's aggregate
+        from deblur4dgs_tpu.eval.validator import Validator
+
+        v = Validator(None, save_dir=None, has_bg=True, lpips_fn=fn)
+        mask = np.ones((32, 48), np.float32)
+        v.update_metrics(jnp.asarray(a), jnp.asarray(b), jnp.asarray(mask),
+                         jnp.asarray(mask))
+        out = v.compute()
+        assert "val/lpips" in out and np.isfinite(out["val/lpips"])
+
+    def test_none_when_unconfigured(self, tmp_path):
+        assert PL.make_lpips_fn(tiny_cfg(tmp_path)) is None
+
+
+class TestValPartition:
+    def test_reference_partition_48_over_5(self):
+        # run_compute_metrics.py:36-52: 10,10,10,10,8 val frames per window
+        assert PL.val_partition(48, 5, 24) == [
+            (0, 10), (10, 20), (20, 30), (30, 40), (40, 48),
+        ]
+
+    def test_synthetic_ratio_one(self):
+        assert PL.val_partition(8, 2, 8) == [(0, 5), (5, 8)]
+
+    def test_covers_all_val_frames_disjointly(self):
+        for V, T in [(48, 24), (8, 8), (46, 23), (52, 26)]:
+            n = max(-(-T // 5), 1)
+            sl = PL.val_partition(V, n, T)
+            covered = [v for lo, hi in sl for v in range(lo, hi)]
+            assert covered == list(range(V))
+
+
+class TestSceneMetricsCli:
+    def test_aggregates_window_dirs_odd_frames(self, tmp_path):
+        import imageio.v3 as iio
+
+        rng = np.random.default_rng(0)
+        # two windows x 4 frames in window order; odd global indices kept
+        names = [[f"{i:05d}" for i in range(4)],
+                 [f"{i:05d}" for i in range(4, 8)]]
+        for w, ns in enumerate(names):
+            d = tmp_path / "results" / f"win_0{w*2}0{w*2+2}" / "rgb_test_optim"
+            os.makedirs(d)
+            for n in ns:
+                img = (rng.uniform(0, 1, (16, 24, 3)) * 255).astype(np.uint8)
+                iio.imwrite(d / f"{n}.png", img)
+                iio.imwrite(d / f"{n}_gt.png", img)  # identical -> psnr cap
+        out = PL.compute_scene_metrics(str(tmp_path / "results"))
+        assert out["psnr"] > 40.0  # identical pred/gt
+        assert out["ssim"] == pytest.approx(1.0, abs=1e-3)
+
+    def test_flat_dir_with_gt_dir(self, tmp_path):
+        import imageio.v3 as iio
+
+        rng = np.random.default_rng(1)
+        rdir = tmp_path / "r"
+        gdir = tmp_path / "g"
+        os.makedirs(rdir)
+        os.makedirs(gdir)
+        for i in range(4):
+            a = (rng.uniform(0, 1, (16, 24, 3)) * 255).astype(np.uint8)
+            b = (rng.uniform(0, 1, (16, 24, 3)) * 255).astype(np.uint8)
+            iio.imwrite(rdir / f"{i:05d}.png", a)
+            iio.imwrite(gdir / f"{i:05d}.png", b)
+        out = PL.compute_scene_metrics(str(rdir), str(gdir))
+        assert 0 < out["psnr"] < 20  # random pairs
