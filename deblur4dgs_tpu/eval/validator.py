@@ -107,19 +107,32 @@ class Validator:
         self.lpips_scores: list[float] = []
         self._render_jits: dict = {}
 
+    def reset_metrics(self):
+        """Fresh metric accumulators, keeping the jitted renders — a stage
+        reuses ONE Validator across its mid-training validations (re-jitting
+        the sharp render every validation epoch recompiles for nothing)."""
+        self.psnr = M.mPSNR()
+        self.ssim = M.mSSIM()
+        self.fg_psnr = M.mPSNR()
+        self.fg_ssim = M.mSSIM()
+        self.bg_psnr = M.mPSNR()
+        self.bg_ssim = M.mSSIM()
+        self.lpips_scores = []
+
     def _render_sharp(self, t, w2c, K, img_wh, num_exposure, cap,
-                      use_pallas, return_depth=False, return_mask=False):
+                      use_pallas, return_depth=False, return_mask=False,
+                      bg_only=False):
         """Cached jitted mid-exposure render: per-frame eager dispatch
         through a remote-device tunnel costs far more than the render."""
         key = (img_wh, num_exposure, cap, use_pallas, return_depth,
-               return_mask)
+               return_mask, bg_only)
         if key not in self._render_jits:
             self._render_jits[key] = jax.jit(
                 lambda scene, t, w2c, K: render(
                     scene, t, w2c, K, img_wh, mode="mid", stage="second",
                     num_exposure=num_exposure, cap=cap,
                     use_pallas=use_pallas, return_depth=return_depth,
-                    return_mask=return_mask,
+                    return_mask=return_mask, bg_only=bg_only,
                 )
             )
         return self._render_jits[key](
@@ -157,11 +170,17 @@ class Validator:
     def validate_frame(
         self, t, w2c, K, gt_img, fg_mask, valid_mask, img_wh,
         frame_name="frame", num_exposure=11, cap=512, use_pallas=True,
-        subdir="rgb_deblur_mid",
+        subdir="rgb_deblur_mid", bg_only=False,
     ):
-        """Sharp mid-exposure render + metrics (validator.py:83-124)."""
+        """Sharp mid-exposure render + metrics (validator.py:83-124).
+
+        bg_only: render without the fg gaussians — the static-stage
+        validation semantics (the reference's stage-1 run validates a
+        model that HAS no fg yet; rendering untrained fg would pollute
+        the val_static metrics)."""
         out = self._render_sharp(
-            t, w2c, K, img_wh, num_exposure, cap, use_pallas
+            t, w2c, K, img_wh, num_exposure, cap, use_pallas,
+            bg_only=bg_only,
         )
         self.update_metrics(out["img"], gt_img, fg_mask, valid_mask)
         self._save(subdir, f"{frame_name}_img", out["img"])

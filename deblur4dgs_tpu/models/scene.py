@@ -207,8 +207,10 @@ def render(
     # Fraction of tile-gaussian intersections dropped by capacity
     # truncation (tile_cap / bucket spec too small for the scene). Computed
     # on the shared-binning training paths; surfaced so training can log it
-    # (silent truncation degrades quality invisibly otherwise).
-    tile_overflow = jnp.zeros(())
+    # (silent truncation degrades quality invisibly otherwise). Paths that
+    # do NOT measure it (subframe_sharding, per-sub-frame binning) report
+    # NaN so a log reader can tell "measured 0" from "not measured".
+    tile_overflow = jnp.full((), jnp.nan)
 
     # --- per-sub-frame render body -----------------------------------------
     def project_subframe(pose, time, tap):
@@ -260,6 +262,7 @@ def render(
         min_depth = jnp.min(imgs[..., -1:], axis=0) if return_depth else None
         rgb_stack = imgs[..., :3]
         alpha_stack = alphas
+        mask_stack = imgs[..., 3:4] if return_mask else None
     else:
         # Single-chip path: sequential scan, carry-accumulated reductions
         # (bounds memory: only rgb/alpha stacks are materialized per
@@ -272,8 +275,13 @@ def render(
                 max_mask = jnp.maximum(max_mask, img[..., 3:4])
             if return_depth:
                 min_depth = jnp.minimum(min_depth, img[..., -1:])
+            # mask channel stacked alongside rgb: the per-sub-frame rendered
+            # fg-mask weighting the AlignedLoss (trainer.py:605,613). A
+            # zero-width slice when no mask channel keeps the y-structure
+            # static across configs.
+            mch = img[..., 3:4] if return_mask else img[..., :0]
             return (sum_img, sum_alpha, max_mask, min_depth), (
-                img[..., :3], alpha, radii,
+                img[..., :3], alpha, radii, mch,
             )
 
         if shared_exposure_binning and S > 1:
@@ -363,6 +371,7 @@ def render(
                     use_pallas=use_pallas,
                     tile_mesh=tile_mesh, tile_axis=tile_axis,
                     stack_subframes=return_exposure_stack,
+                    stack_mask=return_exposure_stack and return_mask,
                 )
                 subframe = xs = None
             else:
@@ -413,6 +422,7 @@ def render(
             min_depth = window_out["min_depth"]
             rgb_stack = window_out["rgb_stack"]
             alpha_stack = window_out["alpha_stack"]
+            mask_stack = window_out["mask_stack"]
             radii_stack = projs.radii
         else:
             carry0 = (
@@ -433,9 +443,11 @@ def render(
                 carry, y = subframe(carry, jax.tree.map(lambda x: x[s], xs))
                 ys.append(y)
             sum_img, sum_alpha, max_mask, min_depth = carry
-            rgb_stack, alpha_stack, radii_stack = jax.tree.map(
+            rgb_stack, alpha_stack, radii_stack, mask_stack = jax.tree.map(
                 lambda *a: jnp.stack(a), *ys
             )
+            if not return_mask:
+                mask_stack = None
 
     avg = sum_img / S
     acc = sum_alpha / S
@@ -462,6 +474,12 @@ def render(
     out["pred_sharp_img"] = rgb_stack[S // 2 if full_stack else 0]
     out["exposure_imgs"] = rgb_stack if return_exposure_stack else None
     out["exposure_alphas"] = alpha_stack if return_exposure_stack else None
+    # Per-sub-frame rendered fg-mask channel: the detached weighting mask
+    # of the exposure-consistency AlignedLoss (reference trainer.py:605,613
+    # reads it from exposure_imgs channel 3:4).
+    out["exposure_masks"] = (
+        mask_stack if (return_exposure_stack and return_mask) else None
+    )
     out["radii"] = radii_stack  # (S, N) per-sub-frame screen radii
     out["tile_overflow"] = tile_overflow
     return out

@@ -23,6 +23,7 @@ Both paths share exact semantics with ops/rasterize_ref.py (alpha clamp
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,9 @@ from deblur4dgs_tpu.ops.tiling import (
 
 ALPHA_CLAMP = 0.999
 ALPHA_CUTOFF = 1.0 / 255.0
+# A/B escape hatch for the scatter-output window path (D4_SCATTER=0 falls
+# back to the bucket-ordered outputs + inverse-permutation gather).
+_USE_SCATTER = os.environ.get("D4_SCATTER", "1") != "0"
 # Chunk-level early termination: stop compositing a tile once every pixel's
 # transmittance is below this (gsplat's per-pixel forward early-stop uses
 # 1e-4; dropped contributions are < 1e-4 of a color unit). The backward
@@ -1535,6 +1539,213 @@ def composite_tiles_window_sharded(
     )(dyn_data, st_data, counts, tile_ids)
 
 
+# ---------------------------------------------------------------------------
+# Scatter-output window compositor (PERF.md round-2 lever, landed round 3):
+# each bucket's kernels address the SHARED image-tile-ordered output buffer
+# directly through a scalar-prefetched tile_ids index map, with
+# input_output_aliases chaining the buckets — rows another bucket owns pass
+# through untouched (both prerequisites proven on hardware in
+# scripts/tpu_proto_prefetch_out.py). This deletes the per-window
+# inverse-permutation row gather + per-bucket concat that reassembled
+# bucket-ordered outputs into image order.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_window_scatter(
+    sids_ref, counts_ref, dyn_ref, st_ref, acc_in_ref, tf_in_ref,
+    accum_ref, tfin_ref, *, tiles_x, cap, nchan, depth_in_dyn, ns,
+):
+    """_fwd_kernel_window body with the out block scattered to image row
+    sids[t]; the aliased pass-through buffers are never touched (pl.ANY)."""
+    del acc_in_ref, tf_in_ref
+    _fwd_kernel_window(
+        sids_ref, counts_ref, dyn_ref, st_ref, accum_ref, tfin_ref,
+        tiles_x=tiles_x, cap=cap, nchan=nchan, depth_in_dyn=depth_in_dyn,
+        ns=ns, tb_rows=1,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("T_img", "tiles_x", "nchan", "depth_in_dyn")
+)
+def _composite_fwd_window_scatter(
+    dyn_data, st_data, counts, sids, acc_in, tf_in, T_img, tiles_x, nchan,
+    depth_in_dyn,
+):
+    """One bucket's forward, written at image-tile rows of a shared
+    (T_img + 1, ...) buffer (row T_img = trash for padded rows).
+
+    acc_in/tf_in None => first bucket: fresh out buffers, unwritten rows
+    undefined until later buckets fill them (the buckets partition the
+    image tiles, so after the last bucket every real row is defined).
+    """
+    Tb, S, Fd, cap = dyn_data.shape
+    Fs = st_data.shape[1]
+    first = acc_in is None
+    if first:
+        kernel = functools.partial(
+            _fwd_kernel_window, tiles_x=tiles_x, cap=cap, nchan=nchan,
+            depth_in_dyn=depth_in_dyn, ns=S, tb_rows=1,
+        )
+    else:
+        kernel = functools.partial(
+            _fwd_kernel_window_scatter, tiles_x=tiles_x, cap=cap,
+            nchan=nchan, depth_in_dyn=depth_in_dyn, ns=S,
+        )
+    in_specs = [
+        pl.BlockSpec((1, S, Fd, cap), lambda t, *s: (t, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Fs, cap), lambda t, *s: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [sids, counts, dyn_data, st_data]
+    if not first:
+        # aliased pass-through buffers: never read by the kernel (pl.ANY
+        # => no DMA), they only carry the other buckets' rows across
+        in_specs += [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        args += [acc_in, tf_in]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Tb,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, S, nchan, P), lambda t, ids, *s: (ids[t], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, P), lambda t, ids, *s: (ids[t], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T_img + 1, S, nchan, P), jnp.float32),
+            jax.ShapeDtypeStruct((T_img + 1, S, P), jnp.float32),
+        ],
+        input_output_aliases={} if first else {4: 0, 5: 1},
+        interpret=_interpret(),
+    )(*args)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tiles_x", "nchan", "depth_in_dyn")
+)
+def _composite_bwd_window_scatter(
+    dyn_data, st_data, counts, sids, acc_img, tfin_img, gacc_img, gt_img,
+    tiles_x, nchan, depth_in_dyn,
+):
+    """One bucket's backward, reading its residual/cotangent rows straight
+    from the image-tile-ordered buffers via prefetched index maps (the
+    inverse of the forward scatter — no gather materialization)."""
+    Tb, S, Fd, cap = dyn_data.shape
+    Fs = st_data.shape[1]
+    if _interpret():
+        # interpret mode: gather this bucket's rows, reuse the legacy
+        # backward (no output-revisit accumulation guarantees there).
+        return _composite_bwd_window_ssplit(
+            dyn_data, st_data, counts, sids, acc_img[sids],
+            tfin_img[sids], gacc_img[sids], gt_img[sids],
+            tiles_x, nchan, depth_in_dyn,
+        )
+    kernel = functools.partial(
+        _bwd_kernel_window_sgrid, tiles_x=tiles_x, cap=cap, nchan=nchan,
+        depth_in_dyn=depth_in_dyn, tb_rows=1,
+    )
+    tfin4 = tfin_img[:, :, None, :]
+    gt4 = gt_img[:, :, None, :]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Tb, S),
+        in_specs=[
+            pl.BlockSpec((1, 1, Fd, cap), lambda t, s, *a: (t, s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Fs, cap), lambda t, s, *a: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nchan, P),
+                         lambda t, s, ids, *a: (ids[t], s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, P),
+                         lambda t, s, ids, *a: (ids[t], s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nchan, P),
+                         lambda t, s, ids, *a: (ids[t], s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, P),
+                         lambda t, s, ids, *a: (ids[t], s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, Fd, cap), lambda t, s, *a: (t, s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Fs, cap), lambda t, s, *a: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Tb, S, Fd, cap), jnp.float32),
+            jax.ShapeDtypeStruct((Tb, Fs, cap), jnp.float32),
+        ],
+        interpret=False,
+    )(sids, counts, dyn_data, st_data, acc_img, tfin4, gacc_img, gt4)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def composite_buckets_scatter(
+    dyn_lists, st_list, counts_list, sids_list, T_img, tiles_x, nchan,
+    depth_in_dyn,
+):
+    """All buckets' forwards chained into ONE image-tile-ordered output.
+
+    Returns accum (T_img + 1, S, nchan, P), tfin (T_img + 1, S, P); row
+    T_img is the trash row for bucket padding, callers slice [:T_img].
+    The custom VJP runs each bucket's backward against the shared
+    residual/cotangent buffers (each image row is owned by exactly one
+    bucket, so per-bucket reads of the full cotangent partition it).
+    """
+    out = None
+    for b in range(len(dyn_lists)):
+        acc, tf = (None, None) if out is None else out
+        out = _composite_fwd_window_scatter(
+            dyn_lists[b], st_list[b], counts_list[b], sids_list[b],
+            acc, tf, T_img, tiles_x, nchan, depth_in_dyn,
+        )
+    return out
+
+
+def _cbs_fwd(
+    dyn_lists, st_list, counts_list, sids_list, T_img, tiles_x, nchan,
+    depth_in_dyn,
+):
+    out = composite_buckets_scatter(
+        dyn_lists, st_list, counts_list, sids_list, T_img, tiles_x, nchan,
+        depth_in_dyn,
+    )
+    return out, (dyn_lists, st_list, counts_list, sids_list, out)
+
+
+def _cbs_bwd(T_img, tiles_x, nchan, depth_in_dyn, res, cts):
+    dyn_lists, st_list, counts_list, sids_list, (acc, tf) = res
+    gacc, gt = cts
+    gdyns, gsts = [], []
+    for b in range(len(dyn_lists)):
+        gdyn, gst = _composite_bwd_window_scatter(
+            dyn_lists[b], st_list[b], counts_list[b], sids_list[b],
+            acc, tf, gacc, gt, tiles_x, nchan, depth_in_dyn,
+        )
+        gdyns.append(gdyn)
+        gsts.append(gst)
+    return tuple(gdyns), tuple(gsts), None, None
+
+
+composite_buckets_scatter.defvjp(_cbs_fwd, _cbs_bwd)
+
+
 def composite_window_buckets(
     buckets,  # tiling.TileBuckets
     st_list,  # per bucket: (Tb_pad, 1+Dc, cap_b) static payload
@@ -1547,6 +1758,7 @@ def composite_window_buckets(
     tile_mesh=None,
     tile_axis: str = "tile",
     stack_subframes: bool = True,
+    stack_mask: bool = False,
 ):
     """Composite a full exposure window in tile space — one untile per window.
 
@@ -1565,7 +1777,10 @@ def composite_window_buckets(
 
     Returns dict: sum_img (H, W, nchan) (background blended), sum_alpha
     (H, W), max_mask (H, W, 1) | None, min_depth (H, W, 1) | None,
-    rgb_stack (S, H, W, 3) (background blended), alpha_stack (S, H, W).
+    rgb_stack (S, H, W, 3) (background blended), alpha_stack (S, H, W),
+    mask_stack (S, H, W, 1) | None (stack_mask=True: the per-sub-frame
+    rendered fg-mask channel — the AlignedLoss weighting mask, reference
+    trainer.py:605,613 `all_imgs[..][:, 0, :, :, 3:4]`).
     """
     from deblur4dgs_tpu.ops.tiling import num_tiles
 
@@ -1584,11 +1799,62 @@ def composite_window_buckets(
     #   [nchan]               sum over sub-frames of transmittance
     #   [+1 if mask]          max over sub-frames of the mask channel
     #   [+1 if depth]         min over sub-frames of expected depth
-    #   [4*S']                per-sub-frame (rgb + transmittance) slabs —
-    #                         all S sub-frames, or only the mid one when
-    #                         stack_subframes=False (the stacks feed only
-    #                         the exposure-consistency loss + sharp output)
+    #   [ncs*S']              per-sub-frame (rgb + transmittance (+ mask))
+    #                         slabs — all S sub-frames, or only the mid one
+    #                         when stack_subframes=False (the stacks feed
+    #                         only the exposure-consistency loss + sharp
+    #                         output)
     s_keep = list(range(S)) if stack_subframes else [S // 2]
+    if stack_mask:
+        assert mask_channel is not None
+    ncs = 4 + (1 if stack_mask else 0)  # per-sub-frame slab channels
+
+    if use_pallas and tile_mesh is None and _USE_SCATTER:
+        # Scatter-output path: the kernels write image-tile-ordered rows
+        # directly (composite_buckets_scatter) — no bucket concat, no
+        # inverse-permutation gather. Padded bucket rows go to trash row T.
+        sids = []
+        for b in range(nb):
+            ids = buckets.tile_ids[b]
+            n = buckets.sizes[b]
+            if ids.shape[0] > n:
+                ids = jnp.concatenate(
+                    [ids[:n],
+                     jnp.full((ids.shape[0] - n,), T, jnp.int32)]
+                )
+            sids.append(ids)
+        acc, tf = composite_buckets_scatter(
+            tuple(dyn_lists), tuple(st_list), tuple(buckets.counts),
+            tuple(sids), T, tiles_x, nchan, include_depth,
+        )
+        acc = acc[:T]  # (T, S, nchan, P) image-tile order
+        tf1 = tf[:T][:, :, None, :]  # (T, S, 1, P)
+        parts = [jnp.sum(acc, axis=1), jnp.sum(tf1, axis=1)]
+        if mask_channel is not None:
+            parts.append(
+                jnp.max(acc[:, :, mask_channel : mask_channel + 1, :], axis=1)
+            )
+        if include_depth:
+            d = acc[:, :, -1:, :] / jnp.maximum(1.0 - tf1, 1e-10)
+            parts.append(jnp.min(d, axis=1))
+        acc_k = acc[:, jnp.array(s_keep)] if len(s_keep) != S else acc
+        tf1_k = tf1[:, jnp.array(s_keep)] if len(s_keep) != S else tf1
+        slab_parts = [
+            acc_k[:, :, :3, :] + tf1_k * background[None, None, :3, None],
+            tf1_k,
+        ]
+        if stack_mask:
+            slab_parts.append(
+                acc_k[:, :, mask_channel : mask_channel + 1, :]
+            )
+        slab = jnp.concatenate(slab_parts, axis=2)  # (T, S', ncs, P)
+        parts.append(slab.reshape(T, len(s_keep) * ncs, P))
+        packed = jnp.concatenate(parts, axis=1)  # (T, C, P)
+        return _window_outputs_from_packed(
+            packed, background, img_wh, (tiles_x, tiles_y), nchan,
+            mask_channel, include_depth, s_keep, ncs, S, stack_mask,
+        )
+
     sum_acc = [None] * nb
     sum_tf = [None] * nb
     max_mask = [None] * nb
@@ -1625,14 +1891,15 @@ def composite_window_buckets(
             min_dep[b] = jnp.min(d, axis=1)
         acc_k = acc[:, jnp.array(s_keep)] if len(s_keep) != S else acc
         tf1_k = tf1[:, jnp.array(s_keep)] if len(s_keep) != S else tf1
-        rgbtf_b = jnp.concatenate(
-            [
-                acc_k[:, :, :3, :]
-                + tf1_k * background[None, None, :3, None],
-                tf1_k,
-            ],
-            axis=2,
-        )  # (Tb, S', 4, P)
+        slab_parts = [
+            acc_k[:, :, :3, :] + tf1_k * background[None, None, :3, None],
+            tf1_k,
+        ]
+        if stack_mask:
+            slab_parts.append(
+                acc_k[:, :, mask_channel : mask_channel + 1, :]
+            )
+        rgbtf_b = jnp.concatenate(slab_parts, axis=2)  # (Tb, S', ncs, P)
         for si in range(len(s_keep)):
             rgbtf[si][b] = rgbtf_b[:, si]
 
@@ -1658,9 +1925,21 @@ def composite_window_buckets(
     packed = jnp.concatenate(
         [bucket_channels(b) for b in range(nb)], axis=0
     )[inv]  # (T, C, P)
+    return _window_outputs_from_packed(
+        packed, background, img_wh, (tiles_x, tiles_y), nchan,
+        mask_channel, include_depth, s_keep, ncs, S, stack_mask,
+    )
+
+
+def _window_outputs_from_packed(
+    packed, background, img_wh, tiles_xy, nchan, mask_channel,
+    include_depth, s_keep, ncs, S, stack_mask,
+):
+    """Untile the (T, C, P) packed window channels into the output dict
+    (shared tail of both composite_window_buckets paths)."""
     C = packed.shape[1]
     img_all, _ = untile_cmajor(
-        packed, packed[:, 0], img_wh, (tiles_x, tiles_y), C
+        packed, packed[:, 0], img_wh, tiles_xy, C
     )
     H, Wd = img_all.shape[:2]
     sum_img = (
@@ -1682,7 +1961,10 @@ def composite_window_buckets(
         off += 1
 
     Sk = len(s_keep)
-    slab = img_all[..., off : off + 4 * Sk].reshape(H, Wd, Sk, 4)
+    slab = img_all[..., off : off + ncs * Sk].reshape(H, Wd, Sk, ncs)
     out["rgb_stack"] = jnp.moveaxis(slab[..., :3], 2, 0)
     out["alpha_stack"] = 1.0 - jnp.moveaxis(slab[..., 3], 2, 0)
+    out["mask_stack"] = (
+        jnp.moveaxis(slab[..., 4:5], 2, 0) if stack_mask else None
+    )
     return out

@@ -327,14 +327,26 @@ def _maybe_resume(loop: TrainLoop, stage_dir: str, cfg: PipelineConfig) -> int:
 def run_validation(
     scene: SceneModel, val_view, cfg: PipelineConfig, epoch: int,
     writer=None, work_dir: str | None = None, tag: str = "val",
-    train_view=None,
+    train_view=None, bg_only: bool = False, validator: Validator | None = None,
 ):
     """Mid-training validation (run_training_static.py:189-197 /
     run_training_dynamic.py:307-315 + validator.py:83-124): sharp
     mid-exposure renders of every val frame written to
     results/rgb_deblur_mid/{epoch:05d}/, PSNR/SSIM to tensorboard; train
-    videos at their own cadence (validator.py:216-398)."""
-    validator = Validator(scene, save_dir=work_dir, has_bg=scene.bg is not None)
+    videos at their own cadence (validator.py:216-398).
+
+    Pass the returned validator back in on the next call of the same stage
+    — its jitted sharp render is reused, only the metric accumulators are
+    reset (a fresh Validator per validation recompiles every epoch).
+    bg_only: static-stage semantics — skip the untrained fg gaussians.
+    Returns (metrics, validator)."""
+    if validator is None:
+        validator = Validator(
+            scene, save_dir=work_dir, has_bg=scene.bg is not None
+        )
+    else:
+        validator.scene = scene
+        validator.reset_metrics()
     W, H = val_view.get_img_wh()
     for i in range(len(val_view)):
         item = val_view.get_item(i)
@@ -351,6 +363,7 @@ def run_validation(
             num_exposure=cfg.render.num_exposure, cap=cfg.render.tile_cap,
             use_pallas=cfg.render.use_pallas,
             subdir=osp.join("rgb_deblur_mid", f"{epoch:05d}"),
+            bg_only=bg_only,
         )
     metrics = validator.compute()
     if writer is not None:
@@ -365,7 +378,7 @@ def run_validation(
             train_view, epoch, num_exposure=cfg.render.num_exposure,
             cap=cfg.render.tile_cap, use_pallas=cfg.render.use_pallas,
         )
-    return metrics
+    return metrics, validator
 
 
 def train_static_stage(
@@ -399,6 +412,7 @@ def train_static_stage(
     for _ in range(start_step):  # replay the sampling stream up to resume
         rng.integers(1, len(items) - 1)
     total = cfg.static_epochs * cfg.steps_per_epoch
+    validator = None
     for gstep in range(start_step, total):
         loop.epoch = epoch = gstep // cfg.steps_per_epoch
         idx = int(rng.integers(1, len(items) - 1))
@@ -406,15 +420,19 @@ def train_static_stage(
         loop.train_step(batch, None, None, None)
         end_of_epoch = (gstep + 1) % cfg.steps_per_epoch == 0
         last_epoch = epoch == cfg.static_epochs - 1
+        # epoch > 0 guard + bg-only render: the reference's static run
+        # skips the epoch-0 validation and validates a model with no fg
+        # (run_training_static.py:188-191).
         if (
             val_view is not None and end_of_epoch
-            and (epoch % cfg.validate_every == 0 or last_epoch)
+            and ((epoch > 0 and epoch % cfg.validate_every == 0) or last_epoch)
         ):
-            run_validation(
+            _, validator = run_validation(
                 loop.state.scene, val_view, cfg, epoch, writer=writer,
                 work_dir=cfg.work_dir, tag="val_static",
-                train_view=dataset,
+                train_view=dataset, bg_only=True, validator=validator,
             )
+    loop.finish()
     os.makedirs(osp.join(cfg.work_dir, "ckpts", "static"), exist_ok=True)
     save_checkpoint(final, loop.state, cfg.static_epochs)
     return loop.state.scene
@@ -428,8 +446,9 @@ def train_dynamic_stage(
 ) -> SceneModel:
     """Stage 2 (run_training_dynamic.py:130-319): fg dynamics + exposure.
 
-    reg_imgs: (T, H, W, 3) stage-1 deblurred bg renders — the static-reg
-    branch targets (batch3, run_training_dynamic.py:238-285,448-486):
+    reg_imgs: stage-1 deblurred bg renders, indexed by the values of
+    dataset.get_dyn_image_ids() — the static-reg branch targets (batch3,
+    run_training_dynamic.py:238-285,448-486):
     every step renders the CURRENT bg in sharp mid mode at batch1's frame
     and pulls it toward the stage-1 output, preventing bg drift while the
     fg trains. batch4_provider(i) -> phase-A multires guidance for frame i
@@ -462,6 +481,7 @@ def train_dynamic_stage(
         rng.integers(0, len(items), size=2)
     num_epochs = epochs or cfg.dynamic_epochs
     total = num_epochs * cfg.steps_per_epoch
+    validator = None
     for gstep in range(start_step, total):
         loop.epoch = epoch = gstep // cfg.steps_per_epoch
         i1, i2 = (int(v) for v in rng.integers(0, len(items), size=2))
@@ -472,8 +492,11 @@ def train_dynamic_stage(
         if has_reg:
             # batch3 = batch1's frame with imgs swapped for the stage-1
             # deblurred render (run_training_dynamic.py:286-302 batch3 uses
-            # index1)
-            breg = batch1._replace(imgs=jnp.asarray(reg_imgs[i1])[None])
+            # index1). reg_imgs is indexed by the values of
+            # get_dyn_image_ids() — items[i1] is frame ids[i1], NOT i1
+            # (with cfg.start > 0 they differ and position-indexing would
+            # silently supervise the wrong frame).
+            breg = batch1._replace(imgs=jnp.asarray(reg_imgs[ids[i1]])[None])
         b4 = batch4_provider(i2) if batch4_provider is not None else None
         loop.train_step(batch1, batch2, tracks, breg, b4)
         end_of_epoch = (gstep + 1) % cfg.steps_per_epoch == 0
@@ -482,11 +505,12 @@ def train_dynamic_stage(
             val_view is not None and end_of_epoch
             and (epoch % cfg.validate_every == 0 or last_epoch)
         ):
-            run_validation(
+            _, validator = run_validation(
                 loop.state.scene, val_view, cfg, epoch, writer=writer,
                 work_dir=cfg.work_dir, tag=f"val_{tag}",
-                train_view=dataset,
+                train_view=dataset, validator=validator,
             )
+    loop.finish()
     os.makedirs(osp.join(cfg.work_dir, "ckpts", tag), exist_ok=True)
     save_checkpoint(final, loop.state, num_epochs)
     return loop.state.scene

@@ -13,6 +13,7 @@ import functools
 import os
 import random
 import time
+from collections import deque
 from typing import Callable, Sequence
 
 import jax
@@ -109,7 +110,11 @@ class TrainLoop:
         self.epoch = 0
         self.only_fg = not has_static
         self.rng = random.Random(seed)
-        self.losses: list = []  # device scalars; coerce via float() lazily
+        # Device scalars, coerced via float() lazily at log cadence; bounded
+        # — an unbounded list would pin thousands of device buffers across a
+        # 9,600-step stage.
+        self.losses: deque = deque(maxlen=max(2 * log_every, 16))
+        self._last_aux: dict | None = None
         self._rays_per_sec = 0.0
         self.viewer = viewer
         if viewer is not None:
@@ -146,6 +151,7 @@ class TrainLoop:
         # bubble everywhere). It is read back only at log cadence — the
         # NaN check (reference trainer.py:226-230) moves there too.
         self.losses.append(loss)
+        self._last_aux = aux
         self.global_step += 1
         if self.viewer is not None:
             b = batch_static or batch_dyn or batch_reg
@@ -177,6 +183,33 @@ class TrainLoop:
                 f"{self.work_dir}/checkpoints/last", self.state, self.epoch
             )
         return loss
+
+    def finish(self):
+        """Stage-end epilogue: final NaN check + tile_overflow report.
+
+        The in-loop NaN trap fires at log cadence only (PARITY §20), so a
+        stage whose total steps are not a multiple of log_every would
+        otherwise never check its last few steps. Also reports the final
+        per-branch tile_overflow even without a writer attached (silent
+        truncation should never go entirely unreported; NaN here means the
+        render path did not measure it)."""
+        if self.losses:
+            loss = float(self.losses[-1])
+            if not np.isfinite(loss):
+                raise FloatingPointError(
+                    f"non-finite loss {loss} at final step {self.global_step}"
+                )
+        if self._last_aux:
+            report = {
+                branch: float(a["tile_overflow"])
+                for branch, a in self._last_aux.items()
+                if "tile_overflow" in a
+            }
+            if report:
+                print(
+                    f"{self.work_dir}: stage-end tile_overflow "
+                    + ", ".join(f"{b}={v:.4f}" for b, v in report.items())
+                )
 
     def _maybe_control(self):
         flags = control_flags(

@@ -140,7 +140,16 @@ def _blur(img, win):
 
 
 def ssim(img1, img2, data_range=1.0, win_size=11, sigma=1.5, K1=0.01, K2=0.03):
-    """Mean SSIM over an (H, W, C) image pair."""
+    """Mean SSIM over an (H, W, C) image pair.
+
+    Images smaller than the window shrink it to the largest odd size that
+    fits (the valid-padded blur would otherwise produce an EMPTY stats
+    array whose mean is NaN — a silent NaN loss value on tiny train
+    images; the reference's pytorch_msssim never sees images < 11 px).
+    """
+    win_size = min(win_size, img1.shape[0], img1.shape[1])
+    if win_size % 2 == 0:
+        win_size -= 1
     win = _gaussian_window(win_size, sigma)
     C1 = (K1 * data_range) ** 2
     C2 = (K2 * data_range) ** 2

@@ -111,6 +111,36 @@ def downsample_area(img: jnp.ndarray, factor: int) -> jnp.ndarray:
     return img.reshape(Hc, factor, Wc, factor, C).mean(axis=(1, 3))
 
 
+def exposure_consistency_loss(imgs_s, masks_s, flow_fn):
+    """Exposure sub-frame consistency (trainer.py:599-618).
+
+    Each term is the PWC-Net flow-aligned L1 between a sub-frame pair,
+    weighted by BOTH the flow validity mask and the DETACHED rendered
+    fg-mask of the target sub-frame (trainer.py:605,613-616 passes
+    `all_imgs[..][:, 0, :, :, 3:4].detach()` into AlignedLoss, applied at
+    loss_utils.py:176-177) — without it the term supervises background /
+    empty regions the reference deliberately excludes.
+
+    imgs_s: (S, H, W, 3) per-sub-frame renders; masks_s: (S, H, W, 1)
+    per-sub-frame rendered fg-masks; flow_fn(a, b) -> (aligned_a, fmask).
+    """
+    S = imgs_s.shape[0]
+
+    def pair_loss(a, b, m):
+        aligned, fmask = flow_fn(a, b)
+        w = fmask * jax.lax.stop_gradient(m)
+        return jnp.mean(jnp.abs(aligned * w - b * w))
+
+    cons = 0.0
+    for ee in range(S - 1):
+        cons += pair_loss(imgs_s[ee], imgs_s[ee + 1], masks_s[ee + 1])
+    for ee in range(1, S):
+        cons += pair_loss(
+            imgs_s[ee], jax.lax.stop_gradient(imgs_s[0]), masks_s[0]
+        )
+    return cons / (S - 1)
+
+
 def rgb_l1_ssim(pred, gt, mask=None):
     """0.8*L1 + 0.2*(1-SSIM), optionally pre-multiplied by a mask
     (trainer.py:389-392). pred/gt: (B, H, W, 3); mask: (B, H, W, 1)."""
@@ -279,20 +309,9 @@ def compute_dynamic_losses(
     # configured this term is skipped (the reference's AlignedLoss needs
     # pretrained PWC-Net weights).
     if flow_fn is not None:
-        S = out["exposure_imgs"].shape[0]
-        imgs_s = out["exposure_imgs"]  # (S, H, W, 3)
-        m = out["mask"][None]
-
-        def pair_loss(a, b):
-            aligned, fmask = flow_fn(a, b)
-            return jnp.mean(jnp.abs(aligned * fmask - b * fmask))
-
-        cons = 0.0
-        for ee in range(S - 1):
-            cons += pair_loss(imgs_s[ee], imgs_s[ee + 1])
-        for ee in range(1, S):
-            cons += pair_loss(imgs_s[ee], jax.lax.stop_gradient(imgs_s[0]))
-        cons = cons / (S - 1)
+        cons = exposure_consistency_loss(
+            out["exposure_imgs"], out["exposure_masks"], flow_fn
+        )
         loss += jnp.where(epoch > lcfg.exposure_cons_start_epoch, 1.0, 0.0) * (
             cons * lcfg.w_exposure_cons
         )

@@ -106,14 +106,17 @@ def main():
     # Score the deblurring directly against GT sharp frames: each frame is
     # rendered sharp (mode='mid') by the window model owning it (the
     # reference's per-window evaluation semantics), compared to the known
-    # GT mid-exposure render; baseline = the blurry input itself.
+    # GT mid-exposure render; baseline = the blurry input itself. Frame
+    # ownership reuses the pipeline's val_partition (the same slicing
+    # run_testing_windows applies, run_compute_metrics.py:36-52 parity)
+    # instead of re-deriving the window bounds here.
     owners = {}
     n_win = len(window_scenes)
+    slices = PL.val_partition(T, n_win, T)
     for wid in sorted(window_scenes, key=int):
         w = int(wid)
         scene_w, window = window_scenes[wid]
-        lo = w * 5
-        hi = T if w == n_win - 1 else min((w + 1) * 5, T)
+        lo, hi = slices[w]
         for f in range(lo, hi):
             owners[f] = (scene_w, window)
 

@@ -100,6 +100,70 @@ class TestBucketedRender:
         np.testing.assert_allclose(a["depth"], b["depth"], atol=1e-6)
         np.testing.assert_allclose(a["acc"], b["acc"], atol=1e-6)
 
+    def test_mask_stack_matches_unbucketed(self):
+        """The bucketed window compositor's per-sub-frame mask stack
+        (stack_mask slab) equals the non-bucketed path's — exercised on an
+        image large enough (>= 64 tiles) that bucketing actually engages."""
+        Wb, Hb = 128, 128
+        Kb = jnp.array(
+            [[110.0, 0.0, 64.0], [0.0, 110.0, 64.0], [0.0, 0.0, 1.0]]
+        )
+        scene = make_scene()
+        kw = dict(
+            mode="blury", num_exposure=3, cap=256,
+            shared_exposure_binning=True, return_mask=True,
+            use_pallas=False,
+        )
+        a = render(scene, 3, EYE4, Kb, (Wb, Hb), bucketed=True, **kw)
+        b = render(scene, 3, EYE4, Kb, (Wb, Hb), bucketed=False, **kw)
+        assert a["exposure_masks"].shape == (3, Hb, Wb, 1)
+        np.testing.assert_allclose(
+            a["exposure_masks"], b["exposure_masks"], atol=1e-6
+        )
+        np.testing.assert_allclose(a["img"], b["img"], atol=1e-6)
+
+    def test_scatter_output_path_matches_gather(self, monkeypatch):
+        """The scatter-output window path (composite_buckets_scatter:
+        kernels write image-tile-ordered rows via prefetched index maps,
+        buckets chained by input_output_aliases) is bit-identical to the
+        bucket-ordered + inverse-permutation-gather path, forward and
+        backward, including mask/depth channels and the exposure stacks."""
+        import deblur4dgs_tpu.ops.rasterize as R
+
+        Wb, Hb = 128, 128
+        Kb = jnp.array(
+            [[110.0, 0.0, 64.0], [0.0, 110.0, 64.0], [0.0, 0.0, 1.0]]
+        )
+        scene = make_scene()
+        kw = dict(
+            mode="blury", num_exposure=3, cap=256, bucketed=True,
+            shared_exposure_binning=True, return_mask=True,
+            return_depth=True, use_pallas=True,
+        )
+
+        def run(use_scatter):
+            monkeypatch.setattr(R, "_USE_SCATTER", use_scatter)
+            return render(scene, 3, EYE4, Kb, (Wb, Hb), **kw)
+
+        a, b = run(True), run(False)
+        for k in ("img", "mask", "depth", "acc", "exposure_imgs",
+                  "exposure_masks", "pred_sharp_img"):
+            np.testing.assert_allclose(a[k], b[k], atol=1e-6, err_msg=k)
+
+        def loss(fg_means, use_scatter):
+            monkeypatch.setattr(R, "_USE_SCATTER", use_scatter)
+            s = scene._replace(fg=scene.fg._replace(means=fg_means))
+            out = render(s, 3, EYE4, Kb, (Wb, Hb), **kw)
+            return (
+                jnp.sum(out["img"] ** 2)
+                + jnp.sum(out["mask"])
+                + jnp.sum(out["exposure_imgs"][0])
+            )
+
+        ga = jax.grad(lambda m: loss(m, True))(scene.fg.means)
+        gb = jax.grad(lambda m: loss(m, False))(scene.fg.means)
+        np.testing.assert_allclose(ga, gb, rtol=1e-5, atol=1e-7)
+
     def test_grads_match(self):
         scene = make_scene()
 

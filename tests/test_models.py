@@ -263,6 +263,40 @@ class TestSceneRender:
         sel = out["acc"][..., 0] > 0.5
         assert float(out["depth"][..., 0][sel].min()) > 0.5
 
+    def test_exposure_masks_stack(self):
+        """exposure_masks = per-sub-frame rendered fg-mask channel (the
+        AlignedLoss weighting mask, reference trainer.py:605,613)."""
+        scene = self._scene()
+        transls = scene.bases.transls.at[0, :, 0].set(
+            jnp.linspace(0, 0.8, scene.bases.num_frames)
+        )
+        scene = scene._replace(bases=scene.bases._replace(transls=transls))
+        out = render(
+            scene, 3, EYE4, K, (W, H), mode="blury", use_pallas=False,
+            return_mask=True, num_exposure=5,
+        )
+        assert out["exposure_masks"].shape == (5, H, W, 1)
+        # mid sub-frame's mask == the sharp mid render's mask
+        out_m = render(
+            scene, 3, EYE4, K, (W, H), mode="mid", use_pallas=False,
+            return_mask=True,
+        )
+        np.testing.assert_allclose(
+            out["exposure_masks"][2], out_m["mask"], atol=1e-5
+        )
+        # fg is moving: sub-frame masks genuinely differ across the window
+        assert float(
+            jnp.abs(out["exposure_masks"][0] - out["exposure_masks"][-1]).max()
+        ) > 1e-3
+        # no mask channel / no stack => None
+        out_nm = render(scene, 3, EYE4, K, (W, H), mode="blury",
+                        use_pallas=False, num_exposure=3)
+        assert out_nm["exposure_masks"] is None
+        out_ns = render(scene, 3, EYE4, K, (W, H), mode="blury",
+                        use_pallas=False, return_mask=True, num_exposure=3,
+                        return_exposure_stack=False)
+        assert out_ns["exposure_masks"] is None
+
     def test_bg_only_static(self):
         scene = self._scene()
         out = render(scene, 3, EYE4, K, (W, H), mode="blury", bg_only=True, use_pallas=False)
