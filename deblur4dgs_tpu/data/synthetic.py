@@ -42,6 +42,13 @@ class SyntheticScene(NamedTuple):
     Ks: jnp.ndarray  # (T, 3, 3)
     img_wh: tuple[int, int]
     exposure: float  # GT exposure half-width (frame units)
+    # (T, 6) se(3) camera-shake delta at the exposure END; the camera
+    # sweeps exp(u * delta) @ w2c for u in [-1, 1] across the exposure
+    # (symmetric, so the mid-exposure camera is exactly w2cs[i]). None =>
+    # camera fixed within each exposure (motion blur from the scene only —
+    # the pre-round-3 behavior, which at realistic resolutions produced
+    # near-sharp 'blurry' inputs; see QUALITY_r03 history).
+    exp_deltas: jnp.ndarray | None = None
 
 
 def _logit(x):
@@ -57,7 +64,16 @@ def make_scene(
     img_wh: tuple[int, int] = (64, 48),
     exposure: float = 0.4,
     cam_shake: float = 0.015,
+    exp_shake: float = 0.0,
+    motion_cycles: float = 1.0,
 ) -> SyntheticScene:
+    """exp_shake > 0 adds intra-exposure camera motion (se(3) magnitude of
+    the half-sweep) — the dominant blur source in the reference's data and
+    the quantity MoveModel explicitly models; without it an exposure is
+    rendered through a fixed camera and only scene motion blurs.
+    motion_cycles stretches the fg motion sinusoids (cycles per clip):
+    per-frame scene motion is ~amplitude * 2*pi*cycles / T, so longer
+    clips need cycles > 1 to stay visibly dynamic."""
     rng = np.random.default_rng(seed)
     W, H = img_wh
     f = 0.9 * max(W, H)
@@ -104,7 +120,7 @@ def make_scene(
     )
 
     # GT motion bases: smooth sinusoidal per-basis trajectories
-    t = np.linspace(0, 2 * np.pi, num_frames)
+    t = np.linspace(0, 2 * np.pi * motion_cycles, num_frames)
     rots6, transls = [], []
     for k in range(num_bases):
         amp = 0.35 * (k + 1) / num_bases
@@ -133,6 +149,13 @@ def make_scene(
         delta = np.asarray(lie.rt_to_mat4(*_split(lie.se3_exp(jnp.asarray(wu)))))
         w2cs.append(delta @ base)
     Kmat = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    exp_deltas = None
+    if exp_shake > 0:
+        # random direction per frame, biased toward rotation + in-plane
+        # translation (handheld-shake-like); symmetric across the window
+        d = rng.normal(size=(num_frames, 6)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        exp_deltas = jnp.asarray(exp_shake * d)
     return SyntheticScene(
         fg=fg,
         bg=bg,
@@ -141,6 +164,7 @@ def make_scene(
         Ks=jnp.broadcast_to(jnp.asarray(Kmat), (num_frames, 3, 3)),
         img_wh=img_wh,
         exposure=exposure,
+        exp_deltas=exp_deltas,
     )
 
 
@@ -373,12 +397,21 @@ def generate_dataset(
     tracks3, tracks2, tdepths, tvis = [], [], [], []
     for i in range(T):
         w2c, K = scene.w2cs[i], scene.Ks[i]
-        # blurry = mean of sub-frame renders across the exposure window
+        # blurry = mean of sub-frame renders across the exposure window;
+        # with exp_deltas the camera sweeps exp(u * delta) @ w2c, u in
+        # [-1, 1] — mid-exposure camera == w2cs[i] exactly
         acc = None
         ts = np.linspace(i - scene.exposure, i + scene.exposure, num_blur_samples)
+        us = np.linspace(-1.0, 1.0, num_blur_samples)
         ts = np.clip(ts, 0, T - 1)
-        for tf in ts:
-            img = rgb_at(jnp.asarray(tf, jnp.float32), w2c, K)
+        for tf, u in zip(ts, us):
+            w2c_s = w2c
+            if scene.exp_deltas is not None:
+                delta = lie.rt_to_mat4(
+                    *_split(lie.se3_exp(u * scene.exp_deltas[i]))
+                )
+                w2c_s = delta @ w2c
+            img = rgb_at(jnp.asarray(tf, jnp.float32), w2c_s, K)
             acc = img if acc is None else acc + img
         imgs.append(acc / num_blur_samples)
 

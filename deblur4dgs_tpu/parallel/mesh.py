@@ -39,15 +39,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def maybe_init_distributed(env_var: str = "DEBLUR4DGS_DIST") -> bool:
     """Multi-host entry: call jax.distributed.initialize() when the
-    launcher sets ``DEBLUR4DGS_DIST=1`` (coordinator address / process id /
-    num processes come from the standard JAX env vars or the TPU metadata
-    service). A no-op on single-host runs so CLIs and the graft dryrun can
-    call it unconditionally. Returns True when initialization ran."""
+    launcher sets ``DEBLUR4DGS_DIST=1``. The coordinator address comes
+    from JAX_COORDINATOR_ADDRESS (read by initialize itself); process
+    count/id come from DEBLUR4DGS_NUM_PROCESSES / DEBLUR4DGS_PROCESS_ID
+    when set (plain-process launchers, e.g. tests/test_multihost.py) and
+    otherwise from JAX's cluster auto-detection (SLURM / OpenMPI / TPU
+    metadata service). A no-op on single-host runs so CLIs and the graft
+    dryrun can call it unconditionally. Returns True when initialization
+    ran."""
     import os
 
     if os.environ.get(env_var, "").lower() not in ("1", "true"):
         return False
-    jax.distributed.initialize()
+    kw = {}
+    if os.environ.get("DEBLUR4DGS_NUM_PROCESSES"):
+        kw["num_processes"] = int(os.environ["DEBLUR4DGS_NUM_PROCESSES"])
+        kw["process_id"] = int(os.environ["DEBLUR4DGS_PROCESS_ID"])
+    jax.distributed.initialize(**kw)
     return True
 
 

@@ -41,6 +41,8 @@ def psnr(a, b, mask=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--medium", action="store_true",
+                    help="reduced-scale TPU debug tier (no artifact)")
     ap.add_argument("--round", type=int, default=2)
     ap.add_argument("--work-dir", default="/tmp/deblur4dgs_quality")
     ap.add_argument("--margin-db", type=float, default=1.0,
@@ -52,9 +54,12 @@ def main():
     from deblur4dgs_tpu.data import synthetic
     from deblur4dgs_tpu.models.scene import render
 
+    # exp_shake: intra-exposure camera sweep (the reference data's dominant
+    # blur source). 0.02 rad/units at f~460 px => ~10 px of camera blur.
     if args.small:
         T, wh = 8, (64, 48)
         num_fg, num_bg, blur_samples = 80, 200, 3
+        scene_kw = dict(exp_shake=0.03, motion_cycles=1.0)
         cfg_kw = dict(
             num_fg=40, num_bg=100, num_motion_bases=2, static_epochs=2,
             dynamic_epochs=2, steps_per_epoch=2, initial_optim_iters=20,
@@ -62,9 +67,21 @@ def main():
             render=RenderConfig(num_exposure=3, tile_cap=256,
                                 use_pallas=False),
         )
+    elif args.medium:
+        T, wh = 8, (256, 144)
+        num_fg, num_bg, blur_samples = 800, 4000, 7
+        scene_kw = dict(exp_shake=0.02, motion_cycles=1.5)
+        cfg_kw = dict(
+            num_fg=600, num_bg=3500, num_motion_bases=4, static_epochs=30,
+            dynamic_epochs=20, steps_per_epoch=16, initial_optim_iters=300,
+            pose_opt_iters=50,
+            render=RenderConfig(num_exposure=5, tile_cap=512,
+                                use_pallas=True),
+        )
     else:
         T, wh = 24, (512, 288)
         num_fg, num_bg, blur_samples = 2000, 9000, 9
+        scene_kw = dict(exp_shake=0.02, motion_cycles=3.0)
         cfg_kw = dict(
             num_fg=1500, num_bg=8000, num_motion_bases=6, static_epochs=40,
             dynamic_epochs=25, steps_per_epoch=24, initial_optim_iters=400,
@@ -77,7 +94,7 @@ def main():
     t0 = time.time()
     sscene = synthetic.make_scene(
         seed=0, num_fg=num_fg, num_bg=num_bg, num_frames=T, img_wh=wh,
-        exposure=0.45, cam_shake=0.03,
+        exposure=0.45, cam_shake=0.03, **scene_kw,
     )
     sdata = synthetic.generate_dataset(
         sscene, num_blur_samples=blur_samples,
@@ -87,7 +104,20 @@ def main():
     train_ds = synthetic.SyntheticSceneAdapter(sscene, sdata, seed=0)
     val_ds = synthetic.SyntheticSceneAdapter(sscene, sdata, seed=0,
                                              split="val")
-    print(f"  dataset in {time.time() - t0:.1f}s")
+    blur_lvl = float(np.mean(
+        [psnr(sdata.imgs[f], sdata.sharp_imgs[f]) for f in range(T)]
+    ))
+    blur_lvl_fg = float(np.mean([
+        psnr(sdata.imgs[f], sdata.sharp_imgs[f], sdata.masks[f])
+        for f in range(T)
+    ]))
+    print(f"  dataset in {time.time() - t0:.1f}s; blurry-vs-sharp "
+          f"{blur_lvl:.2f} dB (fg {blur_lvl_fg:.2f} dB)")
+    # a 'blurry' input indistinguishable from sharp (> ~38 dB) makes the
+    # margin unmeasurable — the QUALITY_r03 first-run failure mode
+    assert args.small or blur_lvl < 38.0, (
+        f"synthetic blur too weak to measure deblurring: {blur_lvl:.1f} dB"
+    )
 
     cfg = PL.PipelineConfig(
         work_dir=args.work_dir, validate_every=10_000, save_videos_every=0,
@@ -161,8 +191,10 @@ def main():
             "num_exposure": cfg.render.num_exposure,
         },
     }
+    result["dataset_blur_psnr"] = round(blur_lvl, 3)
+    result["dataset_blur_fg_psnr"] = round(blur_lvl_fg, 3)
     print(json.dumps(result, indent=2))
-    if not args.small:
+    if not (args.small or args.medium):
         out_path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             f"QUALITY_r{args.round:02d}.json",
