@@ -77,13 +77,19 @@ def correlation(f1, f2, radius=4):
 
 def backwarp(x, flow):
     """Bilinear warp of (B, H, W, C) by flow (B, H, W, 2) in pixels, with a
-    validity mask channel (pwcnet.py:11-56). Returns (warped, mask)."""
+    validity mask channel (pwcnet.py:11-56). Returns (warped, mask).
+
+    The reference normalizes flow by (W-1)/2 but samples through
+    grid_sample(align_corners=False) whose grid unit is W/2 pixels
+    (pwcnet.py:23-27), so its effective pixel displacement is
+    flow * W/(W-1) — reproduced here exactly (pinned by the golden
+    fixture test against the executed reference forward)."""
     B, H, W, C = x.shape
     xs = jnp.arange(W, dtype=jnp.float32)
     ys = jnp.arange(H, dtype=jnp.float32)
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
-    px = gx[None] + flow[..., 0]
-    py = gy[None] + flow[..., 1]
+    px = gx[None] + flow[..., 0] * (W / (W - 1.0))
+    py = gy[None] + flow[..., 1] * (H / (H - 1.0))
 
     x_aug = jnp.concatenate([x, jnp.ones((B, H, W, 1))], axis=-1)
 
@@ -258,16 +264,21 @@ def make_aligned_loss_fn(params):
 
 
 def load_torch_weights(path: str) -> dict:
-    """Convert the reference's pwcnet-network-default.pth into our pytree.
+    """Convert the reference's pwcnet-network-default.pth into our pytree."""
+    import torch
+
+    return load_torch_state(torch.load(path, map_location="cpu"))
+
+
+def load_torch_state(sd) -> dict:
+    """Convert a torch PWC-Net state dict (tensors or ndarrays) into our
+    pytree.
 
     Torch convs are (cout, cin, kh, kw); ours are (kh, kw, cin, cout).
     ConvTranspose2d stores (cin, cout, kh, kw); with transpose_kernel=True
     our HWIO layout wants (kh, kw, cout_ours=cout, cin...) — handled below.
     """
-    import torch
-
-    sd = torch.load(path, map_location="cpu")
-    sd = {k.replace("module", "net"): v.numpy() for k, v in sd.items()}
+    sd = {k.replace("module", "net"): np.asarray(v) for k, v in sd.items()}
 
     def cv(prefix):
         return {

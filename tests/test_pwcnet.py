@@ -51,9 +51,12 @@ class TestBackwarp:
     def test_integer_shift(self):
         rng = np.random.default_rng(3)
         x = jnp.asarray(rng.uniform(size=(1, 8, 8, 3)).astype(np.float32))
-        flow = jnp.zeros((1, 8, 8, 2)).at[..., 0].set(2.0)  # sample from x+2
+        # the effective pixel displacement is flow * W/(W-1) (reference
+        # grid_sample semantics, see backwarp docstring): a flow of
+        # 2*(W-1)/W samples exactly 2 pixels to the right
+        flow = jnp.zeros((1, 8, 8, 2)).at[..., 0].set(2.0 * 7.0 / 8.0)
         out, mask = P.backwarp(x, flow)
-        np.testing.assert_allclose(out[0, :, :6], x[0, :, 2:], atol=1e-6)
+        np.testing.assert_allclose(out[0, :, :6], x[0, :, 2:], atol=1e-5)
         # out-of-range columns masked
         np.testing.assert_allclose(mask[0, :, 6:], 0.0)
 
