@@ -200,7 +200,7 @@ def main(argv=None):
             viewer = TrainingViewer(
                 len(train_ds), port=args.viewer_port,
                 num_exposure=args.num_exposure, cap=args.tile_cap,
-                use_pallas=not args.no_pallas,
+                use_pallas=not args.no_pallas, work_dir=args.work_dir,
             )
             viewer.serve_forever(background=True)
             print(f"live viewer on http://0.0.0.0:{args.viewer_port}")
