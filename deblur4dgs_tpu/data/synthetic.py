@@ -227,7 +227,13 @@ class SyntheticSceneAdapter:
         self.start, self.end = 0, T
         self.Ks = np.asarray(data.Ks)
         self.w2cs = np.asarray(data.w2cs)
-        self.imgs = np.asarray(data.imgs)
+        # The reference's val split serves SHARP held-out frames
+        # (images_test, run_compute_metrics.py:55-61): test-time pose opt
+        # aligns the sharp render against sharp GT and the metrics measure
+        # deblur quality. Training frames stay blurry.
+        self.imgs = np.asarray(
+            data.sharp_imgs if split == "val" else data.imgs
+        )
         self.masks = np.asarray(data.masks)
         self.depths = np.asarray(data.depths)
 
@@ -288,7 +294,7 @@ class SyntheticSceneAdapter:
             "ts": index,
             "w2cs": d.w2cs[index],
             "Ks": d.Ks[index],
-            "imgs": d.imgs[index],
+            "imgs": self.imgs[index],  # sharp GT on the val split
             "valid_masks": jnp.ones_like(d.masks[index]),
             "masks": d.masks[index],
             "depths": d.depths[index],
