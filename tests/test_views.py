@@ -65,3 +65,27 @@ class TestWindowView:
         assert tr.xyz.shape[1] == 3
         full = adapter.get_tracks_3d(num_samples=15)
         assert full.xyz.shape[1] == 8
+
+
+class TestValSplitServesSharpGT:
+    def test_val_imgs_are_sharp(self, adapter):
+        """The val split serves SHARP held-out frames (the reference's
+        images_test protocol, run_compute_metrics.py:55-61); the train
+        split serves the blurry inputs. Pose-opt evaluation against
+        blurry targets silently measures blur-fit, not deblurring (the
+        QUALITY_r03 second-run failure mode)."""
+        val = synthetic.SyntheticSceneAdapter(
+            adapter.scene, adapter.data, split="val"
+        )
+        np.testing.assert_array_equal(
+            val.imgs, np.asarray(adapter.data.sharp_imgs)
+        )
+        np.testing.assert_array_equal(
+            adapter.imgs, np.asarray(adapter.data.imgs)
+        )
+        np.testing.assert_array_equal(
+            val.get_item(3)["imgs"], np.asarray(adapter.data.sharp_imgs[3])
+        )
+        assert "query_tracks_2d" not in val.get_item(3)
+        # blur is real on this scene: the two splits differ
+        assert float(np.abs(val.imgs - adapter.imgs).max()) > 1e-3
