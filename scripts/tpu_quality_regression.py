@@ -86,10 +86,23 @@ def main():
         # (0.02 -> 33+ dB input) leaves no measurable room for deblurring
         # to improve on the input (the r03 first-run failure).
         scene_kw = dict(exp_shake=0.10, motion_cycles=3.0)
+        # The reference's MoveModel schedule presumes 400-epoch stages:
+        # pose heads gate open after epoch 20 (5%) and step every 25
+        # accumulated grads (~380 updates). Rescaled to this 60-epoch
+        # regression so the exposure trajectory actually trains (~270
+        # updates) instead of the gaussians absorbing the blur — the r03
+        # second-run failure mode (renders matched the blurry input 4.5 dB
+        # better than the sharp GT).
+        from deblur4dgs_tpu.configs import LossesConfig, SceneLRConfig
+
+        lr_cfg = SceneLRConfig()
+        lr_cfg.move.accum_every = 5
+        lr_cfg.move.pose = 1e-3
+        loss_cfg = LossesConfig(exposure_cons_start_epoch=3)
         cfg_kw = dict(
             num_fg=1500, num_bg=8000, num_motion_bases=6, static_epochs=60,
             dynamic_epochs=30, steps_per_epoch=24, initial_optim_iters=400,
-            pose_opt_iters=200,
+            pose_opt_iters=200, lr=lr_cfg, losses=loss_cfg,
             render=RenderConfig(num_exposure=7, tile_cap=1024,
                                 use_pallas=True),
         )
@@ -100,11 +113,31 @@ def main():
         seed=0, num_fg=num_fg, num_bg=num_bg, num_frames=T, img_wh=wh,
         exposure=0.45, cam_shake=0.03, **scene_kw,
     )
-    sdata = synthetic.generate_dataset(
-        sscene, num_blur_samples=blur_samples,
-        num_tracks=min(128, num_fg),
-        fast_renderer=not args.small,  # dense oracle is too slow at scale
+    # Dataset cache: generation is deterministic in its arguments and costs
+    # ~5-25 min through the remote-TPU tunnel; reruns (training-recipe
+    # iteration) reload the rendered arrays instead.
+    cache_key = (
+        f"T{T}_w{wh[0]}x{wh[1]}_fg{num_fg}_bg{num_bg}_bs{blur_samples}_"
+        + "_".join(f"{k}{v}" for k, v in sorted(scene_kw.items()))
     )
+    cache_path = f"/tmp/d4_qualcache_{cache_key}.npz"
+    if os.path.exists(cache_path):
+        z = np.load(cache_path)
+        sdata = synthetic.SyntheticDataset(
+            **{k: jnp.asarray(z[k]) for k in synthetic.SyntheticDataset._fields}
+        )
+        print(f"  dataset loaded from cache {cache_path}")
+    else:
+        sdata = synthetic.generate_dataset(
+            sscene, num_blur_samples=blur_samples,
+            num_tracks=min(128, num_fg),
+            fast_renderer=not args.small,  # dense oracle too slow at scale
+        )
+        np.savez(
+            cache_path,
+            **{k: np.asarray(getattr(sdata, k))
+               for k in synthetic.SyntheticDataset._fields},
+        )
     train_ds = synthetic.SyntheticSceneAdapter(sscene, sdata, seed=0)
     val_ds = synthetic.SyntheticSceneAdapter(sscene, sdata, seed=0,
                                              split="val")
