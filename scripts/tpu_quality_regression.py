@@ -81,11 +81,16 @@ def main():
     else:
         T, wh = 24, (512, 288)
         num_fg, num_bg, blur_samples = 2000, 9000, 9
-        # exp_shake=0.10: blurry-input fg PSNR ~24 dB (swept on TPU) —
-        # visibly blurred, the reference's actual regime; weaker shake
-        # (0.02 -> 33+ dB input) leaves no measurable room for deblurring
-        # to improve on the input (the r03 first-run failure).
-        scene_kw = dict(exp_shake=0.10, motion_cycles=3.0)
+        # Severe blur — the reference's target regime (heavily smeared
+        # video). exp_shake=0.30 (camera sweep, fg+bg) + exposure=0.9
+        # (object motion across the exposure window — fg-specific blur,
+        # where the asserted margin is measured) put the blurry input well
+        # below the 60/30-epoch reconstruction ceiling (~21-25 dB even on
+        # sharp data; r03 run history: 0.02 shake -> 33 dB inputs, 0.10 ->
+        # 23.6 dB, both at/above the ceiling — unmeasurable margin).
+        # Tracks/masks/depths are GT here, so heavier blur degrades only
+        # the RGB supervision — exactly the deblurring task.
+        scene_kw = dict(exp_shake=0.30, motion_cycles=3.0, exposure=0.9)
         # The reference's MoveModel schedule presumes 400-epoch stages:
         # pose heads gate open after epoch 20 (5%) and step every 25
         # accumulated grads (~380 updates). Rescaled to this 60-epoch
@@ -100,8 +105,8 @@ def main():
         lr_cfg.move.pose = 1e-3
         loss_cfg = LossesConfig(exposure_cons_start_epoch=3)
         cfg_kw = dict(
-            num_fg=1500, num_bg=8000, num_motion_bases=6, static_epochs=60,
-            dynamic_epochs=30, steps_per_epoch=24, initial_optim_iters=400,
+            num_fg=2000, num_bg=8000, num_motion_bases=6, static_epochs=60,
+            dynamic_epochs=32, steps_per_epoch=24, initial_optim_iters=400,
             pose_opt_iters=200, lr=lr_cfg, losses=loss_cfg,
             render=RenderConfig(num_exposure=7, tile_cap=1024,
                                 use_pallas=True),
@@ -109,9 +114,10 @@ def main():
 
     print(f"generating synthetic blurry sequence T={T} wh={wh}...")
     t0 = time.time()
+    scene_kw.setdefault("exposure", 0.45)
     sscene = synthetic.make_scene(
         seed=0, num_fg=num_fg, num_bg=num_bg, num_frames=T, img_wh=wh,
-        exposure=0.45, cam_shake=0.03, **scene_kw,
+        cam_shake=0.03, **scene_kw,
     )
     # Dataset cache: generation is deterministic in its arguments and costs
     # ~5-25 min through the remote-TPU tunnel; reruns (training-recipe
