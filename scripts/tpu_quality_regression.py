@@ -47,6 +47,12 @@ def main():
     ap.add_argument("--work-dir", default="/tmp/deblur4dgs_quality")
     ap.add_argument("--margin-db", type=float, default=1.0,
                     help="required fg-PSNR improvement over blurry input")
+    ap.add_argument("--ablate-blur", action="store_true",
+                    help="control run: SAME data/budget with blur synthesis"
+                         " OFF (num_exposure=1 — a plain 4DGS fit of the"
+                         " blurry frames, the paper's 'w/o blur modeling'"
+                         " ablation). Writes QUALITY_r{N}_ablation.json; no"
+                         " margin assert.")
     args = ap.parse_args()
 
     from deblur4dgs_tpu import pipeline as PL
@@ -162,6 +168,13 @@ def main():
         f"synthetic blur too weak to measure deblurring: {blur_lvl:.1f} dB"
     )
 
+    if args.ablate_blur:
+        # blur synthesis off: one mid-exposure sample, nothing else changed
+        cfg_kw["render"] = RenderConfig(
+            num_exposure=1, tile_cap=cfg_kw["render"].tile_cap,
+            use_pallas=cfg_kw["render"].use_pallas,
+        )
+        args.work_dir = args.work_dir + "_ablation"
     cfg = PL.PipelineConfig(
         work_dir=args.work_dir, validate_every=10_000, save_videos_every=0,
         optim=OptimizerConfig(warmup_steps=100, control_every=100),
@@ -262,13 +275,16 @@ def main():
     result["dataset_blur_fg_psnr"] = round(blur_lvl_fg, 3)
     print(json.dumps(result, indent=2))
     if not (args.small or args.medium):
+        suffix = "_ablation" if args.ablate_blur else ""
         out_path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            f"QUALITY_r{args.round:02d}.json",
+            f"QUALITY_r{args.round:02d}{suffix}.json",
         )
         with open(out_path, "w") as f:
             json.dump(result, f, indent=2)
         print(f"wrote {out_path}")
+        if args.ablate_blur:
+            return
         assert result["fg_improvement_db"] > args.margin_db, (
             f"deblurred fg PSNR must beat the blurry input by "
             f">{args.margin_db} dB, got {result['fg_improvement_db']}"
