@@ -40,9 +40,16 @@ from deblur4dgs_tpu.ops.tiling import (
 
 ALPHA_CLAMP = 0.999
 ALPHA_CUTOFF = 1.0 / 255.0
-# A/B escape hatch for the scatter-output window path (D4_SCATTER=0 falls
-# back to the bucket-ordered outputs + inverse-permutation gather).
-_USE_SCATTER = os.environ.get("D4_SCATTER", "1") != "0"
+# Scatter-output window path (D4_SCATTER=1): bucket kernels write the shared
+# image-tile-ordered buffer directly via input_output_aliases, deleting the
+# inverse-permutation gather. Numerically equivalent (tests/test_bucketing.py,
+# scripts/tpu_scatter_ab.py) but MEASURED SLOWER on TPU v5e at the 720p bench
+# shape: 208.8 ms/step vs 194.2 ms for the gather path (judge A/B at r3 HEAD;
+# reproduced in docs/PERF.md round-4 appendix). The output aliasing chains the
+# four bucket kernels through the shared buffer, serializing work that
+# previously overlapped. Default is therefore the gather path; the scatter
+# path stays behind D4_SCATTER=1 as a measured dead end.
+_USE_SCATTER = os.environ.get("D4_SCATTER", "0") != "0"
 # Chunk-level early termination: stop compositing a tile once every pixel's
 # transmittance is below this (gsplat's per-pixel forward early-stop uses
 # 1e-4; dropped contributions are < 1e-4 of a color unit). The backward
