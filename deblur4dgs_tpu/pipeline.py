@@ -723,8 +723,15 @@ def render_sharp_frames(scene: SceneModel, dataset, cfg: PipelineConfig,
 
 
 def train_low(train_dataset, val_dataset, cfg: PipelineConfig, writer=None,
-              num_phaseB_windows: int | None = None, viewer=None):
+              num_phaseB_windows: int | None = None, viewer=None,
+              stage_callback=None):
     """Full pipeline in one process (train_low.py:18-25 analog).
+
+    stage_callback(tag, scene, window): optional hook fired after every
+    completed stage ('static' / 'dynamicA' with window=None, then each
+    phase-B 'win_LLHH' with its frame list) — long runs use it to commit
+    partial artifacts and stage-end diagnostics without touching the
+    training path.
 
     Stage 2 mirrors the reference's two-scale schedule: phase A at 4x
     downsampling over the full clip, then phase B per adaptive window at
@@ -746,6 +753,8 @@ def train_low(train_dataset, val_dataset, cfg: PipelineConfig, writer=None,
         train_dataset, scene0, cfg, bg_scale, writer=writer,
         val_view=val_dataset, viewer=viewer,
     )
+    if stage_callback is not None:
+        stage_callback("static", static_scene, None)
 
     # Stage-1 deblurred bg renders: the static-reg (batch3) targets for
     # BOTH stage-2 phases (run_training_dynamic.py:238-302, :448-486 load
@@ -763,6 +772,8 @@ def train_low(train_dataset, val_dataset, cfg: PipelineConfig, writer=None,
         tag="dynamicA", val_view=val_dataset, flow_fn=flow_fn,
         viewer=viewer,
     )
+    if stage_callback is not None:
+        stage_callback("dynamicA", sceneA, None)
 
     # Phase-A sharp outputs at 1/4 res as multires guidance for phase B.
     guide_imgs = render_sharp_frames(sceneA, ds_x4, cfg)
@@ -810,6 +821,10 @@ def train_low(train_dataset, val_dataset, cfg: PipelineConfig, writer=None,
             val_view=val_view_w, flow_fn=flow_fn, viewer=viewer,
         )
         window_scenes[wid] = (sceneW, window)
+        if stage_callback is not None:
+            stage_callback(
+                f"win_{window[0]:02d}{window[-1] + 1:02d}", sceneW, window
+            )
 
     # Stage 3+4: per-window testing with pose refinement, held-out-frame
     # metrics aggregated across windows.

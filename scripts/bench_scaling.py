@@ -28,13 +28,74 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def run_multihost(n_procs: int, local_devices: int, steps: int) -> dict:
+    """Timed multi-process run through the REAL jax.distributed entry.
+
+    Launches n_procs copies of scripts/multihost_worker.py (the same
+    worker tests/test_multihost.py proves equal to a single-process step)
+    with MULTIHOST_STEPS set, so the scaling harness exercises the
+    coordinator/rendezvous path rather than a single-controller mesh
+    (VERDICT r3 item 7). Returns the aggregated JSON record."""
+    import socket
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "scripts", "multihost_worker.py")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs = []
+    for pid in range(n_procs):
+        env = dict(
+            os.environ,
+            DEBLUR4DGS_DIST="1",
+            DEBLUR4DGS_NUM_PROCESSES=str(n_procs),
+            DEBLUR4DGS_PROCESS_ID=str(pid),
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            MULTIHOST_CPU="1",
+            MULTIHOST_LOCAL_DEVICES=str(local_devices),
+            MULTIHOST_STEPS=str(steps),
+        )
+        env.pop("XLA_FLAGS", None)
+        env.pop("JAX_PLATFORMS", None)
+        procs.append(subprocess.Popen(
+            [sys.executable, worker], env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = [p.communicate(timeout=1800)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            raise RuntimeError(f"worker {i} failed:\n{out[-3000:]}")
+    rec = {"processes": n_procs, "devices": n_procs * local_devices}
+    for line in outs[0].splitlines():
+        if line.startswith("MULTIHOST_LOSS"):
+            rec["loss"] = float(line.split()[2])
+        if line.startswith("MULTIHOST_RAYS"):
+            _, _, rays, ms = line.split()
+            rec["rays_per_s"] = float(rays)
+            rec["step_ms"] = float(ms)
+    if "rays_per_s" not in rec:
+        raise RuntimeError(f"no MULTIHOST_RAYS line:\n{outs[0][-2000:]}")
+    return rec
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--max-devices", type=int, default=len(jax.devices()))
     ap.add_argument("--tiny", action="store_true",
                     help="tiny shapes (functional CPU-mesh run)")
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--multihost", type=int, default=0, metavar="P",
+                    help="run P real processes (2 virtual CPU devices "
+                         "each) through the jax.distributed entry instead "
+                         "of a single-controller mesh")
+    ap.add_argument("--local-devices", type=int, default=2)
     args = ap.parse_args()
+
+    if args.multihost:
+        rec = run_multihost(args.multihost, args.local_devices, args.steps)
+        print(json.dumps(rec))
+        return
 
     import bench
     from deblur4dgs_tpu.parallel.mesh import make_mesh

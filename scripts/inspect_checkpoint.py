@@ -1,0 +1,215 @@
+"""One-call checkpoint inspection + MoveModel trajectory diagnostics.
+
+VERDICT r3 item 1c: window checkpoints could not be loaded for inspection
+without rebuilding the exact TrainState template (orbax StandardCheckpointer
+restore wants matching shapes/dtypes for the whole tree including opt_state
+— the 'restore-template friction'). This module restores TEMPLATE-FREE
+(target=None gives plain nested dicts), then reconstructs just the
+SceneModel pytree — no optimizer state, no shape bookkeeping.
+
+The diagnostic answers the round-3 open question "does the MoveModel learn
+the exposure trajectory at all?" by comparing, per frame,
+
+  * the learned within-exposure camera sweep  rel = exp(d1) o exp(d0)^-1
+    (MoveModel residual world-space poses at the window ends) against the
+    generator's known ground truth.  The synthetic data sweeps the CAMERA:
+    w2c(u) = exp(u * delta) @ w2c, u in [-1, 1] (data/synthetic.py), while
+    the model warps the SCENE: effective camera w2c(u) = w2c @ P(u)  =>
+    the GT expressed in the model's convention is
+    P_gt(u) = w2c^-1 @ exp(u * delta) @ w2c and the gauge-invariant
+    comparison is the relative end-to-end sweep
+        log(P(1) P(0)^-1)   vs   log(w2c^-1 exp(2 delta) w2c).
+  * the learned exposure half-width deltaT vs the generator's `exposure`.
+
+Usage:
+  python scripts/inspect_checkpoint.py CKPT_DIR --cache /tmp/d4_qualcache_X.npz \
+      [--frames 0 1 2 ...] [--scene-kw exp_shake=0.3,exposure=0.9,...]
+  (library use: load_raw / scene_from_raw / diagnose_move)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_raw(path: str) -> dict:
+    """Template-free orbax restore -> nested plain dicts/lists of arrays."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
+def _gauss_from_raw(d: dict | None):
+    from deblur4dgs_tpu.models.gaussians import Gaussians
+
+    if d is None:
+        return None
+    return Gaussians(**{
+        k: (None if d.get(k) is None else jnp.asarray(d[k]))
+        for k in Gaussians._fields
+    })
+
+
+def scene_from_raw(raw: dict):
+    """Rebuild the SceneModel NamedTuple from a template-free restore."""
+    from deblur4dgs_tpu.models.motion_bases import MotionBases
+    from deblur4dgs_tpu.models.move_model import MoveModel
+    from deblur4dgs_tpu.models.scene import SceneModel
+
+    s = raw["state"]["scene"]
+    move = s["move"]
+    return SceneModel(
+        fg=_gauss_from_raw(s["fg"]),
+        bg=_gauss_from_raw(s.get("bg")),
+        bases=MotionBases(
+            rots=jnp.asarray(s["bases"]["rots"]),
+            transls=jnp.asarray(s["bases"]["transls"]),
+        ),
+        move=MoveModel(
+            trunk=[{k: jnp.asarray(v) for k, v in l.items()}
+                   for l in move["trunk"]],
+            head_start=[{k: jnp.asarray(v) for k, v in l.items()}
+                        for l in move["head_start"]],
+            head_end=[{k: jnp.asarray(v) for k, v in l.items()}
+                      for l in move["head_end"]],
+            time_params=jnp.asarray(move["time_params"]),
+        ),
+    )
+
+
+def load_scene(path: str):
+    """Checkpoint dir -> (SceneModel, epoch, step) in one call."""
+    raw = load_raw(path)
+    return (
+        scene_from_raw(raw),
+        int(np.asarray(raw["meta"]["epoch"])),
+        int(np.asarray(raw["meta"]["step"])),
+    )
+
+
+def _mat4(p34):
+    m = jnp.eye(4)
+    return m.at[:3, :].set(p34)
+
+
+def diagnose_move(
+    move, w2cs, exp_deltas=None, gt_exposure=None, frames=None,
+    t_offset: int = 0,
+) -> dict:
+    """Per-frame learned-vs-GT exposure sweep comparison (see module doc).
+
+    w2cs: (T, 4, 4) GLOBAL-frame cameras; frames: global frame ids covered
+    by this model (default all); t_offset: global id of the model's local
+    frame 0 (window models index time locally). Returns per-frame dicts +
+    summary means. GT fields are omitted when exp_deltas is None.
+    """
+    from deblur4dgs_tpu.models.move_model import frame_delta_t, predict_deltas
+    from deblur4dgs_tpu.ops import lie
+
+    if frames is None:
+        frames = list(range(np.asarray(w2cs).shape[0]))
+    rows = []
+    for f in frames:
+        w2c = jnp.asarray(w2cs[f])
+        d0, d1 = predict_deltas(move, w2c)
+        P0 = _mat4(lie.se3_exp(d0))
+        P1 = _mat4(lie.se3_exp(d1))
+        rel = lie.se3_log((P1 @ jnp.linalg.inv(P0))[:3, :])
+        t_local = f - t_offset
+        dt = frame_delta_t(move, t_local, "second")
+        row = {
+            "frame": int(f),
+            "learned_sweep": [round(float(v), 5) for v in np.asarray(rel)],
+            "learned_sweep_mag": round(float(jnp.linalg.norm(rel)), 5),
+            "learned_delta_t": round(float(dt), 4),
+        }
+        if exp_deltas is not None:
+            D = _mat4(lie.se3_exp(2.0 * jnp.asarray(exp_deltas[f])))
+            gt_rel = lie.se3_log(
+                (jnp.linalg.inv(w2c) @ D @ w2c)[:3, :]
+            )
+            gmag = float(jnp.linalg.norm(gt_rel))
+            lmag = float(jnp.linalg.norm(rel))
+            cos = float(
+                jnp.dot(rel, gt_rel) / (lmag * gmag + 1e-12)
+            )
+            row.update(
+                gt_sweep_mag=round(gmag, 5),
+                sweep_ratio=round(lmag / (gmag + 1e-12), 4),
+                sweep_cosine=round(cos, 4),
+                sweep_err_mag=round(
+                    float(jnp.linalg.norm(rel - gt_rel)), 5
+                ),
+            )
+        if gt_exposure is not None:
+            row["gt_delta_t"] = round(float(gt_exposure), 4)
+        rows.append(row)
+
+    out: dict = {"frames": rows}
+    interior = [r for r in rows if r["learned_delta_t"] > 0]  # skip gated
+    use = interior or rows
+    for k in ("learned_sweep_mag", "learned_delta_t", "gt_sweep_mag",
+              "sweep_ratio", "sweep_cosine", "sweep_err_mag"):
+        vals = [r[k] for r in use if k in r]
+        if vals:
+            out[f"mean_{k}"] = round(float(np.mean(vals)), 5)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ckpt")
+    ap.add_argument("--cache", help=".npz dataset cache with w2cs")
+    ap.add_argument("--t-offset", type=int, default=0)
+    ap.add_argument("--frames", type=int, nargs="*", default=None)
+    ap.add_argument("--scene-kw", default=None,
+                    help="regen GT scene for exp_deltas: k=v,k=v "
+                         "(make_scene args; numbers parsed as float/int)")
+    args = ap.parse_args()
+
+    scene, epoch, step = load_scene(args.ckpt)
+    print(f"loaded {args.ckpt}: epoch {epoch} step {step} "
+          f"fg={scene.num_fg} bg={scene.num_bg} "
+          f"T={scene.move.time_params.shape[0]}")
+
+    exp_deltas = gt_exposure = None
+    if args.scene_kw:
+        from deblur4dgs_tpu.data import synthetic
+
+        kw = {}
+        for pair in args.scene_kw.split(","):
+            k, v = pair.split("=")
+            if ":" in v:  # tuple, e.g. img_wh=512:288
+                kw[k] = tuple(int(x) for x in v.split(":"))
+                continue
+            try:
+                kw[k] = int(v) if v.isdigit() else float(v)
+            except ValueError:
+                kw[k] = v
+        ss = synthetic.make_scene(**kw)
+        exp_deltas, gt_exposure = ss.exp_deltas, ss.exposure
+        w2cs = ss.w2cs
+    elif args.cache:
+        w2cs = np.load(args.cache)["w2cs"]
+    else:
+        raise SystemExit("need --cache or --scene-kw for cameras")
+
+    diag = diagnose_move(
+        scene.move, w2cs, exp_deltas, gt_exposure,
+        frames=args.frames, t_offset=args.t_offset,
+    )
+    print(json.dumps(diag, indent=2))
+
+
+if __name__ == "__main__":
+    main()

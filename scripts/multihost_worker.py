@@ -139,6 +139,28 @@ def main():
     loss_host = float(np.asarray(loss.addressable_data(0)))
     print(f"MULTIHOST_LOSS {jax.process_index()} {loss_host:.6f}", flush=True)
 
+    # Timed-bench mode (bench_scaling.py --multihost): after the compile
+    # step above, run MULTIHOST_STEPS more steps through the SAME
+    # jax.distributed code path and report per-step wall time — so the
+    # scaling harness and the real multi-host entry cannot drift apart.
+    n_steps = int(os.environ.get("MULTIHOST_STEPS", "0"))
+    if n_steps > 0:
+        import time
+
+        times = []
+        with mesh:
+            for _ in range(n_steps):
+                t0 = time.time()
+                state, loss, _ = step(state, epoch, b1, b2, tracks, b3, None)
+                jax.block_until_ready(loss)
+                times.append(time.time() - t0)
+        dt = float(np.median(times))
+        rays = 64 * 48 / dt  # W * H of build_inputs, matching bench_scaling
+        print(
+            f"MULTIHOST_RAYS {jax.process_index()} {rays:.1f} {dt * 1e3:.1f}",
+            flush=True,
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -1,16 +1,62 @@
 """End-to-end deblur-quality regression on real TPU hardware.
 
-VERDICT r1 item 5: generate a realistic synthetic blurry sequence (camera
-shake + object motion), run the FULL staged train_low pipeline, and assert
-the deblurred sharp renders beat the blurry inputs against the ground-truth
-sharp frames by a fixed margin. This is the proxy for the unavailable
-real-scene parity target (BASELINE.md): the reference establishes quality
-by PSNR/SSIM on held-out frames (run_compute_metrics.py); here the
-synthetic generator gives us true sharp frames to score against directly.
+VERDICT r1 item 5 (protocol fixed r3, capacity + schedule fixed r4):
+generate a realistic synthetic blurry sequence (camera shake + object
+motion), run the FULL staged train_low pipeline, and assert the deblurred
+sharp renders beat the blurry inputs against the ground-truth sharp frames
+by a fixed margin. This is the proxy for the unavailable real-scene parity
+target (BASELINE.md): the reference establishes quality by PSNR/SSIM/LPIPS
+on held-out frames (run_compute_metrics.py:76-77); here the synthetic
+generator gives us true sharp frames to score against directly.
+
+Round-4 fixes (the r3 run scored fg_improvement = -0.59 dB; diagnosis via
+scripts/inspect_checkpoint.py on the r3 checkpoints):
+
+  * fg CAPACITY: r3 generated only min(128, num_fg) tracks, and
+    initialize_scene builds fg gaussians one-per-track — the "2000-fg" run
+    actually trained 128 fg gaussians (capacity 256) against a 2000-
+    gaussian GT foreground at 512x288. The fg reconstruction was
+    capacity-bound regardless of blur modeling (r3 ablation == full run, as
+    this predicts). Now num_tracks == num_fg and the cache key includes it.
+  * EXPOSURE PRIOR: the generator's exposure=0.9 sat outside the model's
+    reference-faithful deltaT hinge range [0.5, 0.75]
+    (LossesConfig.exposure_min/max, trainer.py:730-734 anchor) — learned
+    deltaT stalled at ~0.62 fighting the hinge. The r4 dataset uses
+    exposure=0.7, inside the prior, like the reference's real exposures.
+  * SCHEDULE: reference-scale epochs by default (static 400 / dynamic 101,
+    run_training_static.py:68 / run_training_dynamic.py:121,
+    initial_optim 1000, test-time pose-opt 500) — r3 ran a 12x-shortened
+    60/32 schedule whose sharp-data reconstruction ceiling (~21-25 dB) sat
+    below the blurry input floor. --quick restores the short tier for
+    debugging.
+  * LPIPS: the metrics stage scores the reference's full PSNR/SSIM/LPIPS
+    triple via make_lpips_fn. Offline caveat: lpips_weights='random' is a
+    SEEDED UNTRAINED AlexNet-LPIPS (zero-egress image, no pretrained
+    weights) — the score is a deterministic relative perceptual distance,
+    comparable across runs of this script, not comparable to published
+    LPIPS(alex) numbers.
+  * DIAGNOSTICS: after every stage, a callback writes
+    QUALITY_r{N}_partial.json with wall-clock, learned-vs-GT exposure-sweep
+    magnitudes/alignment and learned deltaT (inspect_checkpoint.
+    diagnose_move) — a failed run now carries its own diagnosis. Note the
+    sweep SIGN is unidentifiable from blur (averaging over the window is
+    invariant to reversing the sweep), so alignment is meaningful up to
+    sign; magnitudes are the primary signal.
+
+num_exposure=9 matches the generator's num_blur_samples=9: with learned
+deltaT == the data's exposure half-width, the model's sub-frame quadrature
+coincides exactly with the points the observation was synthesized from —
+the forward model can represent the observation exactly.
+
+MoveModel schedule keeps the r3-proven rescale (accum_every 25->5, pose lr
+5e-4 -> 1e-3): the reference cosine horizons (24*500 steps) presume its
+real-data step counts; at this regression's 24-step epochs the unscaled
+schedule reaches too few pose updates to move the heads (measured r3).
 
 Writes QUALITY_r{round}.json at the repo root.
 
-Usage:  python scripts/tpu_quality_regression.py [--small] [--round N]
+Usage:  python scripts/tpu_quality_regression.py [--small|--medium|--quick]
+            [--round N] [--ablate-blur]
   --small: CPU-sized sanity run (reduced frames/res/epochs, no assert).
 """
 
@@ -43,10 +89,18 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--medium", action="store_true",
                     help="reduced-scale TPU debug tier (no artifact)")
-    ap.add_argument("--round", type=int, default=2)
-    ap.add_argument("--work-dir", default="/tmp/deblur4dgs_quality")
+    ap.add_argument("--quick", action="store_true",
+                    help="full-size data, r3's 12x-shortened 60/32 epoch "
+                         "schedule (writes the artifact; assert still on)")
+    ap.add_argument("--round", type=int, default=4)
+    ap.add_argument("--work-dir", default="/tmp/deblur4dgs_quality_r4")
     ap.add_argument("--margin-db", type=float, default=1.0,
                     help="required fg-PSNR improvement over blurry input")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore finished/in-progress stages from "
+                         "work_dir checkpoints (crash insurance for the "
+                         "multi-hour ref-scale schedule; work_dir must "
+                         "belong to THIS config)")
     ap.add_argument("--ablate-blur", action="store_true",
                     help="control run: SAME data/budget with blur synthesis"
                          " OFF (num_exposure=1 — a plain 4DGS fit of the"
@@ -56,15 +110,22 @@ def main():
     args = ap.parse_args()
 
     from deblur4dgs_tpu import pipeline as PL
-    from deblur4dgs_tpu.configs import OptimizerConfig, RenderConfig
+    from deblur4dgs_tpu.configs import (
+        LossesConfig,
+        OptimizerConfig,
+        RenderConfig,
+        SceneLRConfig,
+    )
     from deblur4dgs_tpu.data import synthetic
     from deblur4dgs_tpu.models.scene import render
+    from scripts.inspect_checkpoint import diagnose_move
 
     # exp_shake: intra-exposure camera sweep (the reference data's dominant
-    # blur source). 0.02 rad/units at f~460 px => ~10 px of camera blur.
+    # blur source); exposure: object-motion sweep half-width in frame units.
     if args.small:
         T, wh = 8, (64, 48)
         num_fg, num_bg, blur_samples = 80, 200, 3
+        num_tracks = num_fg
         scene_kw = dict(exp_shake=0.03, motion_cycles=1.0)
         cfg_kw = dict(
             num_fg=40, num_bg=100, num_motion_bases=2, static_epochs=2,
@@ -76,6 +137,7 @@ def main():
     elif args.medium:
         T, wh = 8, (256, 144)
         num_fg, num_bg, blur_samples = 800, 4000, 7
+        num_tracks = num_fg
         scene_kw = dict(exp_shake=0.02, motion_cycles=1.5)
         cfg_kw = dict(
             num_fg=600, num_bg=3500, num_motion_bases=4, static_epochs=30,
@@ -87,35 +149,30 @@ def main():
     else:
         T, wh = 24, (512, 288)
         num_fg, num_bg, blur_samples = 2000, 9000, 9
+        num_tracks = num_fg  # r4 fix: fg inits one gaussian per track
         # Severe blur — the reference's target regime (heavily smeared
-        # video). exp_shake=0.30 (camera sweep, fg+bg) + exposure=0.9
-        # (object motion across the exposure window — fg-specific blur,
-        # where the asserted margin is measured) put the blurry input well
-        # below the 60/30-epoch reconstruction ceiling (~21-25 dB even on
-        # sharp data; r03 run history: 0.02 shake -> 33 dB inputs, 0.10 ->
-        # 23.6 dB, both at/above the ceiling — unmeasurable margin).
-        # Tracks/masks/depths are GT here, so heavier blur degrades only
-        # the RGB supervision — exactly the deblurring task.
-        scene_kw = dict(exp_shake=0.30, motion_cycles=3.0, exposure=0.9)
-        # The reference's MoveModel schedule presumes 400-epoch stages:
-        # pose heads gate open after epoch 20 (5%) and step every 25
-        # accumulated grads (~380 updates). Rescaled to this 60-epoch
-        # regression so the exposure trajectory actually trains (~270
-        # updates) instead of the gaussians absorbing the blur — the r03
-        # second-run failure mode (renders matched the blurry input 4.5 dB
-        # better than the sharp GT).
-        from deblur4dgs_tpu.configs import LossesConfig, SceneLRConfig
-
+        # video). exp_shake=0.30 (camera sweep, fg+bg) + exposure=0.7
+        # (object motion across the window; 0.7 sits INSIDE the model's
+        # deltaT hinge prior [0.5, 0.75] — r3's 0.9 did not, see module
+        # doc). Tracks/masks/depths are GT here, so heavy blur degrades
+        # only the RGB supervision — exactly the deblurring task.
+        scene_kw = dict(exp_shake=0.30, motion_cycles=3.0, exposure=0.7)
         lr_cfg = SceneLRConfig()
         lr_cfg.move.accum_every = 5
         lr_cfg.move.pose = 1e-3
         loss_cfg = LossesConfig(exposure_cons_start_epoch=3)
+        epochs = dict(static_epochs=60, dynamic_epochs=32,
+                      initial_optim_iters=400, pose_opt_iters=200)
+        if not args.quick:  # reference-scale schedule (the default)
+            epochs = dict(static_epochs=400, dynamic_epochs=101,
+                          initial_optim_iters=1000, pose_opt_iters=500)
         cfg_kw = dict(
-            num_fg=2000, num_bg=8000, num_motion_bases=6, static_epochs=60,
-            dynamic_epochs=32, steps_per_epoch=24, initial_optim_iters=400,
-            pose_opt_iters=200, lr=lr_cfg, losses=loss_cfg,
-            render=RenderConfig(num_exposure=7, tile_cap=1024,
+            num_fg=2000, num_bg=8000, num_motion_bases=6,
+            steps_per_epoch=24, lr=lr_cfg, losses=loss_cfg,
+            lpips_weights="random",  # seeded untrained net; see module doc
+            render=RenderConfig(num_exposure=9, tile_cap=1024,
                                 use_pallas=True),
+            **epochs,
         )
 
     print(f"generating synthetic blurry sequence T={T} wh={wh}...")
@@ -130,6 +187,7 @@ def main():
     # iteration) reload the rendered arrays instead.
     cache_key = (
         f"T{T}_w{wh[0]}x{wh[1]}_fg{num_fg}_bg{num_bg}_bs{blur_samples}_"
+        f"nt{num_tracks}_"
         + "_".join(f"{k}{v}" for k, v in sorted(scene_kw.items()))
     )
     cache_path = f"/tmp/d4_qualcache_{cache_key}.npz"
@@ -142,7 +200,7 @@ def main():
     else:
         sdata = synthetic.generate_dataset(
             sscene, num_blur_samples=blur_samples,
-            num_tracks=min(128, num_fg),
+            num_tracks=num_tracks,
             fast_renderer=not args.small,  # dense oracle too slow at scale
         )
         np.savez(
@@ -178,12 +236,68 @@ def main():
     cfg = PL.PipelineConfig(
         work_dir=args.work_dir, validate_every=10_000, save_videos_every=0,
         optim=OptimizerConfig(warmup_steps=100, control_every=100),
-        resume=False, seed=0, **cfg_kw,
+        resume=args.resume, seed=0, **cfg_kw,
     )
+
+    # ---- stage-end diagnostics: partial artifact a crash/timeout keeps ---
+    suffix = "_ablation" if args.ablate_blur else ""
+    if args.small or args.medium:  # debug tiers: keep partials off the repo
+        os.makedirs(args.work_dir, exist_ok=True)
+        partial_path = os.path.join(args.work_dir, "partial.json")
+    else:
+        partial_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            f"QUALITY_r{args.round:02d}{suffix}_partial.json",
+        )
+    stages: list[dict] = []
+    t_start = time.time()
+
+    def stage_callback(tag, scene, window):
+        entry = {"stage": tag, "t_seconds": round(time.time() - t_start, 1)}
+        frames = window if window is not None else list(range(T))
+        t_off = frames[0]
+        try:
+            entry["move"] = {
+                k: v
+                for k, v in diagnose_move(
+                    scene.move, sdata.w2cs, sscene.exp_deltas,
+                    sscene.exposure, frames=frames, t_offset=t_off,
+                ).items()
+                if k != "frames"  # summary means only in the artifact
+            }
+        except Exception as e:  # diagnostics must never kill the run
+            entry["move_error"] = str(e)[:200]
+        # direct sharp renders at GT cameras over this stage's frames:
+        # an unaligned fg-PSNR trend across stages (diagnostic only)
+        if window is not None:
+            try:
+                fg_p, fg_b = [], []
+                for f in frames:
+                    out = render(
+                        scene, f - t_off, jnp.asarray(sdata.w2cs[f]),
+                        jnp.asarray(sdata.Ks[f]), wh, mode="mid",
+                        stage="second", num_exposure=cfg.render.num_exposure,
+                        cap=cfg.render.tile_cap,
+                        use_pallas=cfg.render.use_pallas,
+                    )
+                    fg_p.append(psnr(out["img"], sdata.sharp_imgs[f],
+                                     sdata.masks[f]))
+                    fg_b.append(psnr(sdata.imgs[f], sdata.sharp_imgs[f],
+                                     sdata.masks[f]))
+                entry["direct_fg_psnr"] = round(float(np.mean(fg_p)), 3)
+                entry["direct_blurry_fg_psnr"] = round(float(np.mean(fg_b)), 3)
+            except Exception as e:
+                entry["render_error"] = str(e)[:200]
+        stages.append(entry)
+        with open(partial_path, "w") as f:
+            json.dump({"round": args.round, "config_tier":
+                       ("quick" if args.quick else "ref-scale"),
+                       "stages": stages}, f, indent=2)
+        print(f"[stage {tag}] {json.dumps(entry)}", flush=True)
 
     t0 = time.time()
     sceneA, window_scenes, metrics, slides = PL.train_low(
-        train_ds, val_ds, cfg
+        train_ds, val_ds, cfg, stage_callback=stage_callback,
     )
     train_s = time.time() - t0
     print(f"train_low in {train_s:.1f}s; pose-opt metrics: "
@@ -262,6 +376,7 @@ def main():
         "direct_blurry_psnr": round(float(np.mean(blur_psnrs)), 3),
         "direct_blurry_fg_psnr": round(float(np.mean(blur_fg)), 3),
         "pose_opt_metrics": {k: float(v) for k, v in metrics.items()},
+        "stage_diagnostics": stages,
         "backend": jax.default_backend(),
         "config": {
             "static_epochs": cfg.static_epochs,
@@ -269,13 +384,14 @@ def main():
             "num_exposure": cfg.render.num_exposure,
             "tile_cap": cfg.render.tile_cap,
             "pose_opt_iters": cfg.pose_opt_iters,
+            "num_tracks": num_tracks,
+            "lpips_weights": cfg_kw.get("lpips_weights"),
         },
     }
     result["dataset_blur_psnr"] = round(blur_lvl, 3)
     result["dataset_blur_fg_psnr"] = round(blur_lvl_fg, 3)
     print(json.dumps(result, indent=2))
     if not (args.small or args.medium):
-        suffix = "_ablation" if args.ablate_blur else ""
         out_path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             f"QUALITY_r{args.round:02d}{suffix}.json",

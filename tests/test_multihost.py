@@ -85,6 +85,27 @@ class TestMultiHost:
         assert losses[0] == pytest.approx(ref, rel=2e-5), (losses, ref)
 
 
+class TestBenchScalingMultihost:
+    def test_multihost_bench_mode(self):
+        """bench_scaling --multihost drives the jax.distributed entry and
+        reports a finite timed step (VERDICT r3 item 7)."""
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "bench_scaling.py"),
+             "--multihost", "2", "--steps", "2"],
+            capture_output=True, text=True, timeout=1200, cwd=REPO,
+            env={k: v for k, v in os.environ.items()
+                 if k not in ("XLA_FLAGS", "JAX_PLATFORMS")},
+        )
+        assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+        line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+        import json
+
+        rec = json.loads(line)
+        assert rec["processes"] == 2 and rec["devices"] == 4
+        assert np.isfinite(rec["rays_per_s"]) and rec["rays_per_s"] > 0
+        assert np.isfinite(rec["loss"])
+
+
 def _launch_single():
     env = dict(
         os.environ,
