@@ -6,11 +6,15 @@ Metric: train rays/s at 720x1280 — H*W*B / step_time for a full dynamic
 training step (K exposure sub-frame renders, fwd+bwd, optimizer update),
 matching the reference's counter (/root/reference/flow3d/trainer.py:351,533).
 
-Baseline: the reference publishes no numbers (BASELINE.md). We benchmark
-against an estimated reference throughput of 1.0M rays/s — a Deblur4DGS
-step at 720p renders K=11 sub-frames fwd+bwd through gsplat; public gsplat
-numbers put a single 720p fwd+bwd render at ~10-25 ms on an RTX-class GPU,
-i.e. ~0.11-0.28 s/step -> 0.9M-2.1M rays/s; 1.0M is the midpoint estimate.
+Baseline: the reference publishes no numbers (BASELINE.md). The
+vs_baseline ratio divides by an ESTIMATED reference throughput of 1.0M
+rays/s — a Deblur4DGS step at 720p renders K=11 sub-frames fwd+bwd
+through gsplat; public gsplat numbers put a single 720p fwd+bwd render at
+~10-25 ms on an RTX-class GPU, i.e. ~0.11-0.28 s/step -> 0.9M-2.1M
+rays/s; 1.0M is the midpoint estimate. Treat the ratio as indicative
+only. The EVIDENCE-grade numbers are the absolute ms/step here, the
+band-level traces (docs/PERF.md), and the measured speed-of-light
+fractions in scripts/tpu_roofline.py — not this ratio.
 """
 
 import json

@@ -42,11 +42,23 @@ import numpy as np
 
 
 def load_raw(path: str) -> dict:
-    """Template-free orbax restore -> nested plain dicts/lists of arrays."""
+    """Template-free orbax restore -> nested plain dicts/lists of arrays.
+
+    Falls back to a numpy-forced PyTreeCheckpointer restore when the saved
+    sharding metadata names a device this process can't see (e.g. a
+    TPU-saved checkpoint inspected from a CPU-only session)."""
     import orbax.checkpoint as ocp
 
-    ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path))
+    path = os.path.abspath(path)
+    try:
+        return ocp.StandardCheckpointer().restore(path)
+    except ValueError:
+        ckptr = ocp.PyTreeCheckpointer()
+        meta = ckptr.metadata(path).item_metadata
+        restore_args = jax.tree.map(
+            lambda m: ocp.RestoreArgs(restore_type=np.ndarray), meta
+        )
+        return ckptr.restore(path, restore_args=restore_args)
 
 
 def _gauss_from_raw(d: dict | None):
