@@ -246,11 +246,24 @@ def initialize_scene(
 
 
 def _preload_batches(dataset, indices=None):
+    """Load items and pin their arrays to the device ONCE.
+
+    The training loops re-batch these every step; keeping them
+    device-resident makes stack_frame_batch/track_batch_from_item pure
+    device-side ops. Re-transferring per step instead leaks the host
+    staging buffer through the remote-TPU tunnel (see loop._stack) — the
+    cause of a 121 GB host OOM on the first reference-scale quality run."""
     items = [
         dataset.get_item(i)
         for i in (indices if indices is not None else range(len(dataset)))
     ]
-    return items
+    return [
+        {
+            k: jnp.asarray(v) if hasattr(v, "shape") else v
+            for k, v in item.items()
+        }
+        for item in items
+    ]
 
 
 def _ckpt_exists(path: str) -> bool:
@@ -476,6 +489,8 @@ def train_dynamic_stage(
     start_step = _maybe_resume(loop, stage_dir, cfg)
     ids = dataset.get_dyn_image_ids()
     items = _preload_batches(dataset, ids)
+    if has_reg:  # device-resident: per-step indexing must not re-transfer
+        reg_imgs = jnp.asarray(np.asarray(reg_imgs))
     rng = np.random.default_rng(cfg.seed + 1)
     for _ in range(start_step):
         rng.integers(0, len(items), size=2)
@@ -496,7 +511,7 @@ def train_dynamic_stage(
             # get_dyn_image_ids() — items[i1] is frame ids[i1], NOT i1
             # (with cfg.start > 0 they differ and position-indexing would
             # silently supervise the wrong frame).
-            breg = batch1._replace(imgs=jnp.asarray(reg_imgs[ids[i1]])[None])
+            breg = batch1._replace(imgs=reg_imgs[ids[i1]][None])
         b4 = batch4_provider(i2) if batch4_provider is not None else None
         loop.train_step(batch1, batch2, tracks, breg, b4)
         end_of_epoch = (gstep + 1) % cfg.steps_per_epoch == 0
@@ -775,8 +790,9 @@ def train_low(train_dataset, val_dataset, cfg: PipelineConfig, writer=None,
     if stage_callback is not None:
         stage_callback("dynamicA", sceneA, None)
 
-    # Phase-A sharp outputs at 1/4 res as multires guidance for phase B.
-    guide_imgs = render_sharp_frames(sceneA, ds_x4, cfg)
+    # Phase-A sharp outputs at 1/4 res as multires guidance for phase B
+    # (device-resident: batch4_provider slices it every step).
+    guide_imgs = jnp.asarray(render_sharp_frames(sceneA, ds_x4, cfg))
 
     # Stage 2 phase B: adaptive sub-windows at full resolution. Windows are
     # independent training jobs (the reference runs them sequentially; they

@@ -36,11 +36,32 @@ from deblur4dgs_tpu.train.trainer import (
 )
 
 
+def _stack(arrs):
+    """Stack WITHOUT bouncing device arrays through the host.
+
+    Every fresh host->device transfer through the remote-TPU (axon) tunnel
+    leaks its host staging buffer (~transferred bytes; measured 1.9 MB
+    leaked per 1.7 MB transfer) — a 10 MB/step np.stack round trip OOM-
+    killed a 12k-step reference-scale run at 121 GB host RSS. Items
+    preloaded to the device (pipeline._preload_batches) therefore stay
+    there: stacking device arrays runs as a device-side concat."""
+    if all(isinstance(a, jax.Array) for a in arrs):
+        return jnp.stack(arrs)
+    return jnp.asarray(np.stack([np.asarray(a) for a in arrs]))
+
+
+def _as(v, dtype=None):
+    """Device no-op for resident arrays; one transfer for host values."""
+    if isinstance(v, jax.Array):
+        return v.astype(dtype) if dtype is not None else v
+    return jnp.asarray(np.asarray(v, dtype))
+
+
 def stack_frame_batch(items: Sequence[dict]) -> FrameBatch:
     """Stack per-frame dataset items (dataset.get_item) into a FrameBatch."""
 
     def f(key):
-        return jnp.asarray(np.stack([np.asarray(it[key]) for it in items]))
+        return _stack([it[key] for it in items])
 
     return FrameBatch(
         ts=jnp.asarray([int(it["ts"]) for it in items], jnp.int32),
@@ -55,22 +76,14 @@ def stack_frame_batch(items: Sequence[dict]) -> FrameBatch:
 
 def track_batch_from_item(item: dict, start: int = 0) -> TrackBatch:
     return TrackBatch(
-        query_tracks_2d=jnp.asarray(np.asarray(item["query_tracks_2d"])),
-        target_ts=jnp.asarray(
-            np.asarray(item["target_ts"]) - start, jnp.int32
-        ),
-        target_w2cs=jnp.asarray(np.asarray(item["target_w2cs"])),
-        target_Ks=jnp.asarray(np.asarray(item["target_Ks"])),
-        target_tracks_2d=jnp.asarray(np.asarray(item["target_tracks_2d"])),
-        target_visibles=jnp.asarray(
-            np.asarray(item["target_visibles"], np.float32)
-        ),
-        target_confidences=jnp.asarray(
-            np.asarray(item["target_confidences"], np.float32)
-        ),
-        target_track_depths=jnp.asarray(
-            np.asarray(item["target_track_depths"], np.float32)
-        ),
+        query_tracks_2d=_as(item["query_tracks_2d"]),
+        target_ts=_as(item["target_ts"], jnp.int32) - start,
+        target_w2cs=_as(item["target_w2cs"]),
+        target_Ks=_as(item["target_Ks"]),
+        target_tracks_2d=_as(item["target_tracks_2d"]),
+        target_visibles=_as(item["target_visibles"], jnp.float32),
+        target_confidences=_as(item["target_confidences"], jnp.float32),
+        target_track_depths=_as(item["target_track_depths"], jnp.float32),
     )
 
 
@@ -126,6 +139,16 @@ class TrainLoop:
             has_batch4=has_batch4, flow_fn=flow_fn,
         )
         self._control_cache: dict = {}
+        # Host-RSS watchdog (D4_RSS_LOG=N > 0: print every N steps). Added
+        # after a reference-scale quality run was OOM-killed at 121 GB
+        # anon-rss mid-window with no host-side suspect in the step path —
+        # the curve (smooth growth vs event-correlated jumps) localizes any
+        # future leak without a debugger attached.
+        self._rss_every = int(os.environ.get("D4_RSS_LOG", "0"))
+
+    def _rss_gb(self) -> float:
+        with open("/proc/self/statm") as f:
+            return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 1e9
 
     def train_step(self, batch_static, batch_dyn, tracks, batch_reg,
                    batch4_imgs=None):
@@ -162,6 +185,9 @@ class TrainLoop:
                 )
 
         self._maybe_control()
+        if self._rss_every and self.global_step % self._rss_every == 0:
+            print(f"[rss] {self.work_dir} step {self.global_step} "
+                  f"{self._rss_gb():.2f} GB", flush=True)
         if self.global_step % self.log_every == 0:
             # The NaN trap runs at log cadence regardless of whether a
             # writer is attached (the reference traps every step,

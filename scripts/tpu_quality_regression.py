@@ -150,13 +150,24 @@ def main():
         T, wh = 24, (512, 288)
         num_fg, num_bg, blur_samples = 2000, 9000, 9
         num_tracks = num_fg  # r4 fix: fg inits one gaussian per track
-        # Severe blur — the reference's target regime (heavily smeared
-        # video). exp_shake=0.30 (camera sweep, fg+bg) + exposure=0.7
-        # (object motion across the window; 0.7 sits INSIDE the model's
-        # deltaT hinge prior [0.5, 0.75] — r3's 0.9 did not, see module
-        # doc). Tracks/masks/depths are GT here, so heavy blur degrades
-        # only the RGB supervision — exactly the deblurring task.
-        scene_kw = dict(exp_shake=0.30, motion_cycles=3.0, exposure=0.7)
+        # Blur composition (r4, VERDICT item 6): fg blur DOMINATED BY
+        # OBJECT MOTION — exposure=0.7 sweeps the fg across 1.4 frame
+        # units of its trajectory (0.7 sits INSIDE the model's deltaT
+        # hinge prior [0.5, 0.75]; r3's 0.9 did not), while exp_shake=0.10
+        # adds a realistic handheld camera sweep. r3's exp_shake=0.30
+        # regime (~50-100 px of camera blur) is far beyond the reference's
+        # real handheld data and runs into a capacity race this pipeline
+        # never faces there: the zero-init MoveModel heads must predict
+        # |se3|~0.45 sweeps, and the (correctly-sized, r4) gaussians
+        # absorb the blur before the heads get there (measured in
+        # QUALITY_r04 partials: window sweep_ratio collapsed 0.53 -> 0.09
+        # when fg capacity was fixed). Object-motion blur has no such
+        # race: sub-frame TIMES + motion bases invert it, and the GT
+        # track loss + mid-exposure mask loss pin the fg to the true
+        # trajectory — fg gaussians cannot paint the streaks without
+        # violating both. Tracks/masks/depths are GT here, so blur
+        # degrades only the RGB supervision — exactly the deblurring task.
+        scene_kw = dict(exp_shake=0.10, motion_cycles=3.0, exposure=0.7)
         lr_cfg = SceneLRConfig()
         lr_cfg.move.accum_every = 5
         lr_cfg.move.pose = 1e-3
