@@ -59,6 +59,39 @@ class TestWindowView:
             assert np.all(np.asarray(item["target_ts"]) < 4)
             assert item["target_w2cs"].shape[0] == len(item["target_ts"])
 
+    def test_target_track_arrays_coherent_with_resampled_targets(self, adapter):
+        """Round-4 regression: get_item resamples target_ts/w2cs/Ks into
+        the window, so EVERY target-indexed track array must be re-paired
+        for the SAME frames. The pre-fix synthetic path kept the base
+        item's arrays (sampled for different frames), silently scoring
+        frame-A track positions against frame-B cameras/times — incoherent
+        supervision that flattened the learned motion field."""
+        w = WindowView(adapter, [2, 3, 4, 5])
+        d = adapter.data
+        for i in range(4):
+            item = w.get_item(i)
+            tids = np.asarray(item["target_ts"])
+            g = [w.window[int(t)] for t in tids]
+            np.testing.assert_allclose(
+                np.asarray(item["target_tracks_2d"]),
+                np.asarray(d.tracks_2d)[g],
+            )
+            np.testing.assert_allclose(
+                np.asarray(item["target_track_depths"]),
+                np.asarray(d.track_depths)[g],
+            )
+            np.testing.assert_allclose(
+                np.asarray(item["target_w2cs"]), np.asarray(adapter.w2cs)[g]
+            )
+            src = w.window[i]
+            vis_expect = (
+                np.asarray(d.track_visibles)[g].astype(np.float32)
+                * np.asarray(d.track_visibles[src], np.float32)[None]
+            )
+            np.testing.assert_allclose(
+                np.asarray(item["target_visibles"]), vis_expect
+            )
+
     def test_window_tracks(self, adapter):
         w = WindowView(adapter, [1, 2, 3])
         tr = w.get_tracks_3d(num_samples=15)
