@@ -324,13 +324,23 @@ class SyntheticSceneAdapter:
 def generate_dataset(
     scene: SyntheticScene, num_blur_samples: int = 7, num_tracks: int = 64,
     seed: int = 0, fast_renderer: bool = False,
+    blur_union_masks: bool = False,
 ) -> SyntheticDataset:
     """fast_renderer=False (default) renders through the pure-JAX oracle,
     keeping dataset quality independent of the kernels under test (unit
     tests). fast_renderer=True renders through the production tiled path —
     required at realistic scene sizes where the dense oracle is orders of
     magnitude slower (the kernels are oracle-verified to 1e-6 separately,
-    so the supervision content is the same)."""
+    so the supervision content is the same).
+
+    blur_union_masks=True emits fg masks as the UNION over the exposure
+    window (any sub-frame's fg coverage), matching the reference's real
+    data where masks are segmented from the BLURRY frames and therefore
+    cover the motion streaks (stereo_low_dataset.py mask loading). A sharp
+    mid-exposure mask on blurred data penalizes the trainer's correctly-
+    sweeping solution (its blurry-mode rendered mask is the sub-frame max,
+    trainer.py:620-631 / scene_model.py:389-393) — an anti-motion prior
+    the reference never has."""
     T = scene.w2cs.shape[0]
     W, H = scene.img_wh
     rng = np.random.default_rng(seed)
@@ -426,7 +436,25 @@ def generate_dataset(
 
         # fg mask + depth via channel multiplexing at mid-exposure
         out, alpha = mask_depth_at(jnp.asarray(i, jnp.float32), w2c, K)
-        masks.append((out[..., 0] > 0.5).astype(np.float32))
+        mask_i = (np.asarray(out[..., 0]) > 0.5).astype(np.float32)
+        if blur_union_masks:
+            # union of fg coverage across the exposure window (sweeping
+            # camera + object motion) — the blurry-frame segmentation the
+            # reference's datasets provide
+            for tf, u in zip(ts, us):
+                w2c_s = w2c
+                if scene.exp_deltas is not None:
+                    delta = lie.rt_to_mat4(
+                        *_split(lie.se3_exp(u * scene.exp_deltas[i]))
+                    )
+                    w2c_s = delta @ w2c
+                out_s, _ = mask_depth_at(
+                    jnp.asarray(tf, jnp.float32), w2c_s, K
+                )
+                mask_i = np.maximum(
+                    mask_i, (np.asarray(out_s[..., 0]) > 0.5).astype(np.float32)
+                )
+        masks.append(mask_i)
         depths.append(out[..., 1] / np.maximum(np.asarray(alpha), 1e-6))
 
         # GT tracks: fg subset positions at time i

@@ -96,6 +96,12 @@ def main():
     ap.add_argument("--work-dir", default="/tmp/deblur4dgs_quality_r4")
     ap.add_argument("--margin-db", type=float, default=1.0,
                     help="required fg-PSNR improvement over blurry input")
+    ap.add_argument("--sharp-masks", action="store_true",
+                    help="emit SHARP mid-exposure fg masks instead of the "
+                         "default blur-union masks (the reference's real "
+                         "masks are segmented from blurry frames and cover "
+                         "the streaks; sharp masks penalize the correctly-"
+                         "sweeping solution via the mask loss)")
     ap.add_argument("--resume", action="store_true",
                     help="restore finished/in-progress stages from "
                          "work_dir checkpoints (crash insurance for the "
@@ -196,9 +202,10 @@ def main():
     # Dataset cache: generation is deterministic in its arguments and costs
     # ~5-25 min through the remote-TPU tunnel; reruns (training-recipe
     # iteration) reload the rendered arrays instead.
+    blur_union = not (args.sharp_masks or args.small or args.medium)
     cache_key = (
         f"T{T}_w{wh[0]}x{wh[1]}_fg{num_fg}_bg{num_bg}_bs{blur_samples}_"
-        f"nt{num_tracks}_"
+        f"nt{num_tracks}_" + ("bum_" if blur_union else "")
         + "_".join(f"{k}{v}" for k, v in sorted(scene_kw.items()))
     )
     cache_path = f"/tmp/d4_qualcache_{cache_key}.npz"
@@ -213,6 +220,7 @@ def main():
             sscene, num_blur_samples=blur_samples,
             num_tracks=num_tracks,
             fast_renderer=not args.small,  # dense oracle too slow at scale
+            blur_union_masks=blur_union,
         )
         np.savez(
             cache_path,

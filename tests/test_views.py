@@ -100,6 +100,34 @@ class TestWindowView:
         assert full.xyz.shape[1] == 8
 
 
+class TestBlurUnionMasks:
+    def test_union_covers_sharp_and_streaks(self):
+        """blur_union_masks=True must emit a superset of the mid-exposure
+        mask that includes motion-streak coverage (the reference's masks
+        are segmented from blurry frames; a sharp mask penalizes the
+        correctly-sweeping solution through the mask loss)."""
+        sc = synthetic.make_scene(
+            seed=0, num_fg=40, num_bg=80, num_frames=4, img_wh=(48, 32),
+            exposure=0.6, exp_shake=0.05, motion_cycles=1.5,
+        )
+        d_sharp = synthetic.generate_dataset(sc, num_blur_samples=3,
+                                             num_tracks=10)
+        d_union = synthetic.generate_dataset(
+            sc, num_blur_samples=3, num_tracks=10, blur_union_masks=True
+        )
+        ms = np.asarray(d_sharp.masks)
+        mu = np.asarray(d_union.masks)
+        assert np.all(mu >= ms)  # superset
+        assert (mu - ms).sum() > 0  # streaks actually covered
+        # everything else identical
+        np.testing.assert_allclose(
+            np.asarray(d_union.imgs), np.asarray(d_sharp.imgs)
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_union.tracks_2d), np.asarray(d_sharp.tracks_2d)
+        )
+
+
 class TestValSplitServesSharpGT:
     def test_val_imgs_are_sharp(self, adapter):
         """The val split serves SHARP held-out frames (the reference's
