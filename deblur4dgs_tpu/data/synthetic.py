@@ -66,6 +66,7 @@ def make_scene(
     cam_shake: float = 0.015,
     exp_shake: float = 0.0,
     motion_cycles: float = 1.0,
+    motion_amp: float = 0.35,
 ) -> SyntheticScene:
     """exp_shake > 0 adds intra-exposure camera motion (se(3) magnitude of
     the half-sweep) — the dominant blur source in the reference's data and
@@ -73,7 +74,18 @@ def make_scene(
     rendered through a fixed camera and only scene motion blurs.
     motion_cycles stretches the fg motion sinusoids (cycles per clip):
     per-frame scene motion is ~amplitude * 2*pi*cycles / T, so longer
-    clips need cycles > 1 to stay visibly dynamic."""
+    clips need cycles > 1 to stay visibly dynamic.
+
+    motion_amp scales the sinusoid amplitudes. Velocity (per-frame motion,
+    hence object blur) goes as amp * cycles, but CURVATURE (per-frame
+    acceleration) as amp * cycles^2 — and the trainer's reference-faithful
+    smoothness priors (w_smooth_tracks/w_z_accel on second differences)
+    penalize curvature. Real video sits in a high-velocity, low-curvature
+    regime (high frame rate relative to motion); synthetic trajectories
+    must too, or the priors beat the track loss and flatten the learned
+    motion (measured in QUALITY_r04 partials at cycles=3: trained fg moved
+    ~6 px/frame vs 42 GT). Prefer raising motion_amp over motion_cycles
+    when more object blur is wanted."""
     rng = np.random.default_rng(seed)
     W, H = img_wh
     f = 0.9 * max(W, H)
@@ -123,13 +135,13 @@ def make_scene(
     t = np.linspace(0, 2 * np.pi * motion_cycles, num_frames)
     rots6, transls = [], []
     for k in range(num_bases):
-        amp = 0.35 * (k + 1) / num_bases
+        amp = motion_amp * (k + 1) / num_bases
         ang = amp * np.sin(t + k)  # rotation about a per-basis axis
         axis = rng.normal(size=3)
         axis /= np.linalg.norm(axis)
         R = lie.so3_exp(jnp.asarray((ang[:, None] * axis).astype(np.float32)))
         rots6.append(lie.rmat_to_cont_6d(R))
-        tr = 0.35 * np.stack(
+        tr = motion_amp * np.stack(
             [np.sin(t + 2 * k), np.cos(t + k) - np.cos(float(k)), 0.1 * np.sin(2 * t + k)], -1
         ) * (k + 1) / num_bases
         transls.append(jnp.asarray(tr.astype(np.float32)))

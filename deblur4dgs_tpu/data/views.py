@@ -155,23 +155,11 @@ class WindowView:
         """Re-pair ALL track-target arrays for the resampled target frames.
 
         get_item above replaces target_ts/w2cs/Ks with window-local
-        resamples; every target-indexed array MUST be rebuilt for the same
-        frames or the track loss scores frame-A positions against frame-B
-        cameras/times (incoherent supervision that actively flattens the
-        learned motion — found in round 4 when the trained fg moved ~6 px
-        between frames vs 42 px ground truth)."""
+        resamples, so every target-indexed array must be rebuilt for the
+        same frames (stereo via the pairwise loader, synthetic from the
+        stored GT arrays) — coherence is regression-tested in
+        tests/test_views.py."""
         base = self.base
-        if hasattr(base, "data"):
-            # synthetic adapter: GT per-frame track arrays are stored whole
-            d = base.data
-            q_vis = np.asarray(d.track_visibles[src], np.float32)
-            vis = np.asarray(d.track_visibles)[targets].astype(np.float32)
-            return {
-                "target_tracks_2d": np.asarray(d.tracks_2d)[targets],
-                "target_visibles": vis * q_vis[None],
-                "target_confidences": np.ones_like(vis),
-                "target_track_depths": np.asarray(d.track_depths)[targets],
-            }
         if hasattr(base, "_load_pair_tracks"):
             import jax.numpy as jnp
 
