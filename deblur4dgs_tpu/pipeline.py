@@ -145,7 +145,25 @@ class PipelineConfig:
     losses: LossesConfig = field(default_factory=LossesConfig)
     optim: OptimizerConfig = field(default_factory=OptimizerConfig)
     render: RenderConfig = field(default_factory=RenderConfig)
+    # Phase-A (4x-downsampled) tile capacity. At 4x downsampling there are
+    # 16x fewer 16x16 tiles over the SAME scene content, so a cap tuned
+    # for full resolution truncates heavily (measured: stage-end
+    # tile_overflow 0.42 on the r4 quality run's dynamicA vs <0.19 at x1
+    # — the reference's gsplat lists are unbounded and never truncate,
+    # run_training_dynamic.py:135-319 trains phase A losslessly). None =
+    # auto: min(4 * tile_cap, 4096); kernel tile-blocking degrades to one
+    # tile per block at large caps (ops/rasterize.py::_window_tb) so big
+    # caps are VMEM-safe.
+    tile_cap_x4: int | None = None
     seed: int = 0
+
+    def render_x4(self) -> RenderConfig:
+        import dataclasses as _dc
+
+        cap = self.tile_cap_x4
+        if cap is None:
+            cap = min(4 * self.render.tile_cap, 4096)
+        return _dc.replace(self.render, tile_cap=cap)
 
 
 def _round_capacity(n: int) -> int:
@@ -778,12 +796,17 @@ def train_low(train_dataset, val_dataset, cfg: PipelineConfig, writer=None,
     ds_x4 = DownsampleView(train_dataset, 4)
     reg_full = render_sharp_frames(static_scene, train_dataset, cfg,
                                    bg_only=True)
-    reg_x4 = render_sharp_frames(static_scene, ds_x4, cfg, bg_only=True)
+    # Every x4-resolution render uses the resolution-scaled tile capacity
+    # (see PipelineConfig.tile_cap_x4).
+    import dataclasses as _dc
+
+    cfg_x4 = _dc.replace(cfg, render=cfg.render_x4())
+    reg_x4 = render_sharp_frames(static_scene, ds_x4, cfg_x4, bg_only=True)
 
     # Stage 2 phase A: 4x-downsampled, full clip.
-    sceneA, _ = initialize_scene(ds_x4, cfg, static_scene=static_scene)
+    sceneA, _ = initialize_scene(ds_x4, cfg_x4, static_scene=static_scene)
     sceneA = train_dynamic_stage(
-        ds_x4, sceneA, cfg, bg_scale, reg_imgs=reg_x4, writer=writer,
+        ds_x4, sceneA, cfg_x4, bg_scale, reg_imgs=reg_x4, writer=writer,
         tag="dynamicA", val_view=val_dataset, flow_fn=flow_fn,
         viewer=viewer,
     )
@@ -792,7 +815,7 @@ def train_low(train_dataset, val_dataset, cfg: PipelineConfig, writer=None,
 
     # Phase-A sharp outputs at 1/4 res as multires guidance for phase B
     # (device-resident: batch4_provider slices it every step).
-    guide_imgs = jnp.asarray(render_sharp_frames(sceneA, ds_x4, cfg))
+    guide_imgs = jnp.asarray(render_sharp_frames(sceneA, ds_x4, cfg_x4))
 
     # Stage 2 phase B: adaptive sub-windows at full resolution. Windows are
     # independent training jobs (the reference runs them sequentially; they

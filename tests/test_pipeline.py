@@ -72,6 +72,26 @@ class TestRunArtifacts:
         assert (backup / "ops" / "rasterize.py").exists()
 
 
+class TestPhaseACapScaling:
+    def test_render_x4_auto(self, tmp_path):
+        cfg = tiny_cfg(tmp_path)
+        r4 = cfg.render_x4()
+        assert r4.tile_cap == 4 * cfg.render.tile_cap  # 256 -> 1024
+        assert r4.num_exposure == cfg.render.num_exposure  # rest untouched
+
+    def test_render_x4_clamp_and_override(self, tmp_path):
+        import dataclasses
+
+        cfg = tiny_cfg(tmp_path)
+        cfg = dataclasses.replace(
+            cfg, render=RenderConfig(num_exposure=3, tile_cap=2048,
+                                     use_pallas=False)
+        )
+        assert cfg.render_x4().tile_cap == 4096  # auto clamps at 4096
+        cfg = dataclasses.replace(cfg, tile_cap_x4=512)
+        assert cfg.render_x4().tile_cap == 512  # explicit override wins
+
+
 class TestStagedPipeline:
     def test_initialize_scene(self, adapter, tmp_path):
         cfg = tiny_cfg(tmp_path)
