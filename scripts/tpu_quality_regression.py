@@ -202,11 +202,21 @@ def main():
         if not args.quick:  # reference-scale schedule (the default)
             epochs = dict(static_epochs=400, dynamic_epochs=101,
                           initial_optim_iters=1000, pose_opt_iters=500)
+        # tile_cap 2048 (r4, was 1024): union binning shares ONE tile list
+        # across the 9 swept sub-frames, so blur windows oversubscribe the
+        # caps a sharp render never would — the r4 quick run measured
+        # stage-end tile_overflow 0.26 at x1 windows / 0.42 at x4 dynamicA
+        # at cap 1024, i.e. a quarter of all tile-gaussian intersections
+        # (concentrated in the dense fg tiles being scored) silently
+        # dropped during training. The reference's gsplat lists are
+        # unbounded; capacity truncation is OUR artifact and must be ~0 in
+        # a quality run. Phase A additionally auto-scales to 4*cap
+        # (PipelineConfig.tile_cap_x4).
         cfg_kw = dict(
             num_fg=2000, num_bg=8000, num_motion_bases=6,
             steps_per_epoch=24, lr=lr_cfg, losses=loss_cfg,
             lpips_weights="random",  # seeded untrained net; see module doc
-            render=RenderConfig(num_exposure=9, tile_cap=1024,
+            render=RenderConfig(num_exposure=9, tile_cap=2048,
                                 use_pallas=True),
             **epochs,
         )
