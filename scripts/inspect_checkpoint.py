@@ -155,12 +155,22 @@ def diagnose_move(
             cos = float(
                 jnp.dot(rel, gt_rel) / (lmag * gmag + 1e-12)
             )
+            # Sweep SIGN is unidentifiable from blur: averaging over the
+            # window is invariant to reversing the sweep (start<->end), so
+            # a perfectly-learned trajectory may show cosine -1. abs_cosine
+            # + the sign-corrected error are the meaningful alignment
+            # numbers; the raw cosine stays for sign bookkeeping.
+            sgn = 1.0 if cos >= 0 else -1.0
             row.update(
                 gt_sweep_mag=round(gmag, 5),
                 sweep_ratio=round(lmag / (gmag + 1e-12), 4),
                 sweep_cosine=round(cos, 4),
+                sweep_abs_cosine=round(abs(cos), 4),
                 sweep_err_mag=round(
                     float(jnp.linalg.norm(rel - gt_rel)), 5
+                ),
+                sweep_err_mag_signfree=round(
+                    float(jnp.linalg.norm(sgn * rel - gt_rel)), 5
                 ),
             )
         if gt_exposure is not None:
@@ -171,7 +181,8 @@ def diagnose_move(
     interior = [r for r in rows if r["learned_delta_t"] > 0]  # skip gated
     use = interior or rows
     for k in ("learned_sweep_mag", "learned_delta_t", "gt_sweep_mag",
-              "sweep_ratio", "sweep_cosine", "sweep_err_mag"):
+              "sweep_ratio", "sweep_cosine", "sweep_abs_cosine",
+              "sweep_err_mag", "sweep_err_mag_signfree"):
         vals = [r[k] for r in use if k in r]
         if vals:
             out[f"mean_{k}"] = round(float(np.mean(vals)), 5)
