@@ -152,24 +152,26 @@ FWD_VPU_OPS_PER_ELT = 30
 def measure_vpu_ceiling():
     """Achieved f32 elementwise op rate for a long fused chain — the
     practical VPU ceiling under the same compiler path as the kernels."""
-    n = 4096
+    n = 1024  # 4 MB carry — must stay VMEM-resident or the loop measures
+    # HBM streaming, not the VPU (67 MB carries measured 0.4 Top/s)
     x = jnp.ones((n, n), jnp.float32)
+    inner = 4096  # ops inside ONE dispatch: the axon tunnel costs ~60 ms
+    # per call, so the loop must live inside the jit to amortize it
 
     def chain(x):
-        for _ in range(32):  # 32 mul+add pairs = 64 ops/element
+        def body(_, x):
             x = x * 1.000001 + 1e-7
-        return x
+            return x * 0.999999 + 1e-7  # 4 ops/element/iter
+
+        return jax.lax.fori_loop(0, inner, body, x)
 
     f = jax.jit(chain)
-    f(x).block_until_ready()
-    reps = 20
+    float(f(x)[0, 0])
     t0 = time.time()
-    o = x
-    for _ in range(reps):
-        o = f(o)
+    o = f(x)
     float(o[0, 0])
-    dt = (time.time() - t0) / reps
-    return 64 * n * n / dt
+    dt = time.time() - t0
+    return 4 * inner * n * n / dt
 
 
 def measure_matmul_ceiling():
@@ -178,16 +180,22 @@ def measure_matmul_ceiling():
     n = 4096
     a = jnp.ones((n, n), jnp.float32)
     b = jnp.ones((n, n), jnp.float32)
-    f = jax.jit(lambda a, b: a @ b)
-    f(a, b).block_until_ready()
-    reps = 20
+    inner = 64  # chained matmuls per dispatch (amortize the tunnel cost)
+
+    def chain(a, b):
+        def body(_, a):
+            return 0.5 * (a @ b)
+
+        return jax.lax.fori_loop(0, inner, body, a)
+
+    f = jax.jit(chain)
+    float(f(a, b)[0, 0])  # compile + fence (axon: block_until_ready
+    # can return before device work completes; a readback is the fence)
     t0 = time.time()
-    o = a
-    for _ in range(reps):
-        o = f(o, b)
-    float(o[0, 0])  # readback fence (axon: block_until_ready unreliable)
-    dt = (time.time() - t0) / reps
-    return 2 * n**3 / dt
+    o = f(a, b)
+    float(o[0, 0])
+    dt = time.time() - t0
+    return inner * 2 * n**3 / dt
 
 
 def main():
