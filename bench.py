@@ -38,7 +38,13 @@ W, H = 1280, 720
 NUM_FG = 40_000
 NUM_BG = 60_000
 NUM_EXPOSURE = 11
-TILE_CAP = 1024
+# Tile-list capacity. The quality pipeline defaults to 2048 because real
+# blur windows oversubscribe shared tile lists (26-42% truncation measured
+# at 1024 — see scripts/tpu_quality_regression.py and docs/PERF.md "Tile
+# capacity"). Override with BENCH_TILE_CAP to measure other settings; the
+# stderr sanity line reports this scene's own tile_overflow, and both cap
+# numbers are recorded in docs/PERF.md.
+TILE_CAP = int(os.environ.get("BENCH_TILE_CAP", "1024"))
 
 
 def build(tile_mesh=None):
@@ -154,7 +160,7 @@ def main():
     losses = []
     for i in range(6):
         t0 = time.time()
-        state, loss, _ = step(state, epoch, None, batch, tracks, None, None)
+        state, loss, aux = step(state, epoch, None, batch, tracks, None, None)
         # Synchronize via a scalar readback: on the axon backend
         # block_until_ready can return before device work completes, so a
         # host transfer is the only reliable fence.
@@ -178,9 +184,11 @@ def main():
     # sanity: the scene must still render non-trivially after the steps
     means = state.scene.fg.means
     finite = bool(jnp.all(jnp.isfinite(means)))
+    overflow = float(aux["dynamic"]["tile_overflow"])
     print(
         f"# sanity: params finite={finite}, "
-        f"mean|means|={float(jnp.abs(means).mean()):.3f}",
+        f"mean|means|={float(jnp.abs(means).mean()):.3f}, "
+        f"tile_cap={TILE_CAP}, tile_overflow={overflow:.4f}",
         file=sys.stderr,
     )
 

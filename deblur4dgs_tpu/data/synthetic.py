@@ -221,6 +221,48 @@ class SyntheticDataset(NamedTuple):
     track_visibles: jnp.ndarray  # (T, P)
 
 
+def sharp_fg_masks(scene: "SyntheticScene", cap: int = 1024,
+                   use_pallas: bool = True) -> jnp.ndarray:
+    """Mid-exposure fg silhouettes (T, H, W) through the production path.
+
+    Exactly the blur_union_masks=False masks of generate_dataset, but
+    recomputable alone — the sharp-supervision ceiling control
+    (scripts/tpu_quality_regression.py --sharp-supervision) converts a
+    cached blur-union dataset by re-rendering only this field (~seconds)
+    instead of regenerating every blur-sample render (~minutes)."""
+    from deblur4dgs_tpu.models.move_model import init_move_model
+    from deblur4dgs_tpu.models.scene import SceneModel
+    from deblur4dgs_tpu.models.scene import render as scene_render
+
+    T = scene.w2cs.shape[0]
+    sm = SceneModel(
+        fg=scene.fg._replace(
+            alive=jnp.ones((scene.fg.capacity,), jnp.float32)
+        ),
+        bg=scene.bg._replace(
+            alive=jnp.ones((scene.bg.capacity,), jnp.float32)
+        ),
+        bases=scene.bases,
+        move=init_move_model(jax.random.PRNGKey(0), num_frames=T),
+    )
+
+    @jax.jit
+    def mask_at(tf, w2c, K):
+        out = scene_render(
+            sm, tf, w2c, K, scene.img_wh, mode="mid", stage="first",
+            return_mask=True, bg_color=1.0, num_exposure=1, cap=cap,
+            use_pallas=use_pallas,
+        )
+        return out["mask"][..., 0]
+
+    masks = [
+        (np.asarray(mask_at(jnp.asarray(float(i)), scene.w2cs[i],
+                            scene.Ks[i])) > 0.5).astype(np.float32)
+        for i in range(T)
+    ]
+    return jnp.stack([jnp.asarray(m) for m in masks])
+
+
 class SyntheticSceneAdapter:
     """Dataset-interface adapter over a SyntheticScene + SyntheticDataset,
     so the staged pipeline (pipeline.py) runs end-to-end without real data.

@@ -69,6 +69,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# Under the axon boot path sitecustomize imports jax before our env is
+# read, so JAX_PLATFORMS=cpu would be silently ignored and a "CPU" smoke
+# run would contend with the real TPU. Honor it via the live config (the
+# backend is not initialized yet at import time).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -119,7 +127,18 @@ def main():
                          " blurry frames, the paper's 'w/o blur modeling'"
                          " ablation). Writes QUALITY_r{N}_ablation.json; no"
                          " margin assert.")
+    ap.add_argument("--sharp-supervision", action="store_true",
+                    help="reconstruction-CEILING control (VERDICT r4 item"
+                         " 2): identical scene/budget but RGB supervision ="
+                         " the generator's SHARP frames (num_exposure=1,"
+                         " sharp masks). The resulting fg PSNR is the best"
+                         " this pipeline can do with NO blur in the data —"
+                         " deblurring can only aspire to it. Writes"
+                         " QUALITY_r{N}_ceiling.json; no margin assert.")
     args = ap.parse_args()
+    assert not (args.ablate_blur and args.sharp_supervision), (
+        "--ablate-blur and --sharp-supervision are distinct controls"
+    )
 
     from deblur4dgs_tpu import pipeline as PL
     from deblur4dgs_tpu.configs import (
@@ -231,13 +250,38 @@ def main():
     # Dataset cache: generation is deterministic in its arguments and costs
     # ~5-25 min through the remote-TPU tunnel; reruns (training-recipe
     # iteration) reload the rendered arrays instead.
-    blur_union = not (args.sharp_masks or args.small or args.medium)
-    cache_key = (
-        f"T{T}_w{wh[0]}x{wh[1]}_fg{num_fg}_bg{num_bg}_bs{blur_samples}_"
-        f"nt{num_tracks}_" + ("bum_" if blur_union else "")
-        + "_".join(f"{k}{v}" for k, v in sorted(scene_kw.items()))
-    )
-    cache_path = f"/tmp/d4_qualcache_{cache_key}.npz"
+    # Ceiling control trains on sharp data — the consistent masks are the
+    # sharp mid-exposure silhouettes (a real sharp-video pipeline would
+    # segment those), not the blur-union streak covers.
+    blur_union = not (args.sharp_masks or args.small or args.medium
+                      or args.sharp_supervision)
+
+    def _cache_path(bum: bool) -> str:
+        key = (
+            f"T{T}_w{wh[0]}x{wh[1]}_fg{num_fg}_bg{num_bg}_bs{blur_samples}_"
+            f"nt{num_tracks}_" + ("bum_" if bum else "")
+            + "_".join(f"{k}{v}" for k, v in sorted(scene_kw.items()))
+        )
+        return f"/tmp/d4_qualcache_{key}.npz"
+
+    cache_path = _cache_path(blur_union)
+    sibling = _cache_path(not blur_union)
+    if not os.path.exists(cache_path) and os.path.exists(sibling):
+        # Only the masks field differs between the two variants; convert
+        # the sibling cache by re-rendering masks alone (~seconds) instead
+        # of regenerating every blur-sample render (~minutes of TPU).
+        z = np.load(sibling)
+        masks = (
+            synthetic.sharp_fg_masks(sscene)
+            if not blur_union
+            else None  # union-from-sharp needs the full sweep: regenerate
+        )
+        if masks is not None:
+            fields = {k: np.asarray(z[k])
+                      for k in synthetic.SyntheticDataset._fields}
+            fields["masks"] = np.asarray(masks)
+            np.savez(cache_path, **fields)
+            print(f"  converted sibling cache {sibling} (masks re-rendered)")
     if os.path.exists(cache_path):
         z = np.load(cache_path)
         sdata = synthetic.SyntheticDataset(
@@ -256,31 +300,39 @@ def main():
             **{k: np.asarray(getattr(sdata, k))
                for k in synthetic.SyntheticDataset._fields},
         )
+    blurry_imgs = sdata.imgs  # the real blurry frames, for baseline metrics
+    if args.sharp_supervision:
+        # swap the training observations to the GT sharp frames; the val
+        # split already serves sharp_imgs, so eval is unchanged. Baselines
+        # below keep scoring the true blurry inputs via blurry_imgs.
+        sdata = sdata._replace(imgs=sdata.sharp_imgs)
     train_ds = synthetic.SyntheticSceneAdapter(sscene, sdata, seed=0)
     val_ds = synthetic.SyntheticSceneAdapter(sscene, sdata, seed=0,
                                              split="val")
     blur_lvl = float(np.mean(
-        [psnr(sdata.imgs[f], sdata.sharp_imgs[f]) for f in range(T)]
+        [psnr(blurry_imgs[f], sdata.sharp_imgs[f]) for f in range(T)]
     ))
     blur_lvl_fg = float(np.mean([
-        psnr(sdata.imgs[f], sdata.sharp_imgs[f], sdata.masks[f])
+        psnr(blurry_imgs[f], sdata.sharp_imgs[f], sdata.masks[f])
         for f in range(T)
     ]))
     print(f"  dataset in {time.time() - t0:.1f}s; blurry-vs-sharp "
           f"{blur_lvl:.2f} dB (fg {blur_lvl_fg:.2f} dB)")
     # a 'blurry' input indistinguishable from sharp (> ~38 dB) makes the
     # margin unmeasurable — the QUALITY_r03 first-run failure mode
-    assert args.small or blur_lvl < 38.0, (
+    assert args.small or args.sharp_supervision or blur_lvl < 38.0, (
         f"synthetic blur too weak to measure deblurring: {blur_lvl:.1f} dB"
     )
 
-    if args.ablate_blur:
+    if args.ablate_blur or args.sharp_supervision:
         # blur synthesis off: one mid-exposure sample, nothing else changed
         cfg_kw["render"] = RenderConfig(
             num_exposure=1, tile_cap=cfg_kw["render"].tile_cap,
             use_pallas=cfg_kw["render"].use_pallas,
         )
-        args.work_dir = args.work_dir + "_ablation"
+        args.work_dir = args.work_dir + (
+            "_ceiling" if args.sharp_supervision else "_ablation"
+        )
     cfg = PL.PipelineConfig(
         work_dir=args.work_dir, validate_every=10_000, save_videos_every=0,
         optim=OptimizerConfig(warmup_steps=100, control_every=100),
@@ -288,7 +340,8 @@ def main():
     )
 
     # ---- stage-end diagnostics: partial artifact a crash/timeout keeps ---
-    suffix = "_ablation" if args.ablate_blur else ""
+    suffix = ("_ceiling" if args.sharp_supervision
+              else "_ablation" if args.ablate_blur else "")
     if args.small or args.medium:  # debug tiers: keep partials off the repo
         os.makedirs(args.work_dir, exist_ok=True)
         partial_path = os.path.join(args.work_dir, "partial.json")
@@ -330,7 +383,7 @@ def main():
                     )
                     fg_p.append(psnr(out["img"], sdata.sharp_imgs[f],
                                      sdata.masks[f]))
-                    fg_b.append(psnr(sdata.imgs[f], sdata.sharp_imgs[f],
+                    fg_b.append(psnr(blurry_imgs[f], sdata.sharp_imgs[f],
                                      sdata.masks[f]))
                 entry["direct_fg_psnr"] = round(float(np.mean(fg_p)), 3)
                 entry["direct_blurry_fg_psnr"] = round(float(np.mean(fg_b)), 3)
@@ -360,10 +413,10 @@ def main():
     # the same odd frames.
     odd = [f for f in range(T) if f % 2 == 1]
     base_psnr = float(np.mean(
-        [psnr(sdata.imgs[f], sdata.sharp_imgs[f]) for f in odd]
+        [psnr(blurry_imgs[f], sdata.sharp_imgs[f]) for f in odd]
     ))
     base_fg = float(np.mean([
-        psnr(sdata.imgs[f], sdata.sharp_imgs[f], sdata.masks[f])
+        psnr(blurry_imgs[f], sdata.sharp_imgs[f], sdata.masks[f])
         for f in odd
     ]))
     deblur_psnr_opt = float(metrics["val/psnr"])
@@ -401,9 +454,9 @@ def main():
         )
         gt = sdata.sharp_imgs[f]
         mask = sdata.masks[f]
-        blur_psnrs.append(psnr(sdata.imgs[f], gt))
+        blur_psnrs.append(psnr(blurry_imgs[f], gt))
         deblur_psnrs.append(psnr(out["img"], gt))
-        blur_fg.append(psnr(sdata.imgs[f], gt, mask))
+        blur_fg.append(psnr(blurry_imgs[f], gt, mask))
         deblur_fg.append(psnr(out["img"], gt, mask))
 
     result = {
@@ -441,6 +494,11 @@ def main():
     }
     result["dataset_blur_psnr"] = round(blur_lvl, 3)
     result["dataset_blur_fg_psnr"] = round(blur_lvl_fg, 3)
+    if args.sharp_supervision:
+        # the number this control exists to produce: the pipeline's
+        # reconstruction ceiling under sharp supervision (pose-opt protocol)
+        result["ceiling_fg_psnr"] = result["deblurred_fg_psnr"]
+        result["ceiling_psnr"] = result["deblurred_psnr"]
     print(json.dumps(result, indent=2))
     if not (args.small or args.medium):
         out_path = os.path.join(
@@ -450,7 +508,7 @@ def main():
         with open(out_path, "w") as f:
             json.dump(result, f, indent=2)
         print(f"wrote {out_path}")
-        if args.ablate_blur:
+        if args.ablate_blur or args.sharp_supervision:
             return
         assert result["fg_improvement_db"] > args.margin_db, (
             f"deblurred fg PSNR must beat the blurry input by "

@@ -30,8 +30,10 @@ grids this script rebuilds):
 
 Run `--measure` on a free TPU to (re)measure the matmul ceiling and the
 band times; without it, the committed numbers from docs/PERF.md's trace
-table are used and only the body/pass/FLOP counts are recomputed (CPU ok:
-JAX_PLATFORMS=cpu python scripts/tpu_roofline.py).
+table are used and only the body/pass/FLOP counts are recomputed. Note
+the count-only mode still rebuilds the full bench-shape binning (720p,
+100k gaussians, S=11) — on CPU that takes far longer than on TPU (>5 min;
+run it on the chip).
 
 Output: a summary table (paste target: docs/PERF.md "Speed of light").
 """
@@ -184,7 +186,10 @@ def measure_matmul_ceiling():
 
     def chain(a, b):
         def body(_, a):
-            return 0.5 * (a @ b)
+            # 1/n keeps the all-ones chain at exactly 1.0 every iteration
+            # (0.5 overflowed f32 after ~11 iters; the scale is fused into
+            # the matmul epilogue either way, so timing is unaffected)
+            return (1.0 / n) * (a @ b)
 
         return jax.lax.fori_loop(0, inner, body, a)
 
