@@ -153,7 +153,9 @@ class PipelineConfig:
     # run_training_dynamic.py:135-319 trains phase A losslessly). None =
     # auto: min(4 * tile_cap, 4096); kernel tile-blocking degrades to one
     # tile per block at large caps (ops/rasterize.py::_window_tb) so big
-    # caps are VMEM-safe.
+    # caps are VMEM-safe. Measured at the clamp (base cap 2048 -> x4 cap
+    # 4096, r5 ref-scale run): stage-end dynamicA overflow 0.0002 — the
+    # clamp leaves no material residual truncation and stays.
     tile_cap_x4: int | None = None
     seed: int = 0
 
