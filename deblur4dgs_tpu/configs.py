@@ -43,6 +43,11 @@ class MoveLRConfig:
     time_T_max: int = 24 * 200
     eta_min: float = 1e-5
     accum_every: int = 25  # grads accumulate; step every 25 (trainer.py:241-255)
+    # NOTE: the pose-net epoch gate is applied in make_train_step via
+    # LossesConfig.exposure_cons_start_epoch (both default to the
+    # reference's epoch 20, trainer.py:241-250 — one knob there too, since
+    # its pose stepping and AlignedLoss activate together). This field is
+    # NOT consumed; kept for config-surface parity only.
     pose_start_epoch: int = 20
 
 

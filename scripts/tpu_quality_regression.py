@@ -341,7 +341,9 @@ def main():
 
     # ---- stage-end diagnostics: partial artifact a crash/timeout keeps ---
     suffix = ("_ceiling" if args.sharp_supervision
-              else "_ablation" if args.ablate_blur else "")
+              else "_ablation" if args.ablate_blur
+              else f"_wm{args.w_multires:g}" if args.w_multires is not None
+              else "")
     if args.small or args.medium:  # debug tiers: keep partials off the repo
         os.makedirs(args.work_dir, exist_ok=True)
         partial_path = os.path.join(args.work_dir, "partial.json")
